@@ -1,0 +1,41 @@
+"""Test configuration: force a deterministic 8-device CPU mesh.
+
+Must run before anything imports jax (pytest imports conftest first).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hermetic tests: never the TPU tunnel
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dragposer_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/python/data/example"
+REFERENCE_MODEL = "/root/reference/python/models/model_dancedb"
+
+# 22-joint AMASS skeleton of the example data (verified against the BVH
+# hierarchy; see SURVEY.md A.1).
+EXAMPLE_PARENTS = np.array(
+    [0, 0, 1, 2, 3, 0, 5, 6, 7, 0, 9, 10, 11, 12, 11, 14, 15, 16, 11, 18, 19, 20],
+    dtype=np.int64,
+)
+
+
+@pytest.fixture(scope="session")
+def example_parents():
+    return EXAMPLE_PARENTS.copy()
+
+
+@pytest.fixture(scope="session")
+def example_bvh_path():
+    return os.path.join(REFERENCE_DATA, "eval", "example.bvh")
