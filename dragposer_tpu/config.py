@@ -1,0 +1,191 @@
+"""Hyperparameters and tracker configurations.
+
+Values mirror the reference training/runtime configuration so that imported
+checkpoints and reproduced training runs are interchangeable
+(reference: ``python/src/train.py:16-47``, ``python/src/train_temporal.py:15-37``,
+``python/config/*.json``, defaults inlined at ``python/src/eval_drag.py:68-131``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# VAE (generator) hyperparameters
+# ---------------------------------------------------------------------------
+
+VAE_PARAM = {
+    "batch_size": 64,
+    "epochs": 1500,
+    "kernel_size_temporal_dim": 1,
+    "neighbor_distance": 2,
+    "stride_encoder_conv": 1,
+    "channel_factor": 1,
+    "learning_rate": 1e-4,
+    "clip_grad_value": 100.0,
+    "lambda_root": 1.0,
+    "lambda_kld": 0.001,
+    "lambda_displacement": 10.0,
+    "lambda_consecutive": 1.0,
+    "lambda_fk": 100.0,
+    "window_size": 1,
+    "window_step": 1,
+    "seed": 2222,
+    "sparse_joints": [0, 4, 8, 13, 17, 21],  # root, feet, head, hands
+    "latent_dim": 24,
+    "downsample": 1,
+}
+
+# ---------------------------------------------------------------------------
+# Temporal predictor hyperparameters
+# ---------------------------------------------------------------------------
+
+SAMPLE_STEP = 4
+
+TEMPORAL_PARAM = {
+    "batch_size": 512,
+    "epochs": 80,
+    "learning_rate": 1e-3,
+    "window_size": 120,
+    "past_frames": list(range(0, 60, SAMPLE_STEP)),     # 15 samples
+    "future_frames": list(range(60, 120, SAMPLE_STEP)),  # 15 samples
+    "window_step": 16,
+    "downsample": 1,
+    "features_transformer": VAE_PARAM["latent_dim"] * 2,  # 48
+    "n_heads": 4,
+    "n_encoder_layers": 3,
+    "n_decoder_layers": 3,
+    "dim_feedforward": 2048,
+    "dropout": 0.1,
+    "latent_dim": VAE_PARAM["latent_dim"],
+    "lambda_displacement": 10.0,
+    "sample_step": SAMPLE_STEP,
+    "height_indices": [0, 4, 8, 13, 17, 21],
+    "limbs_random_prob": 0.1,
+}
+
+LIMB_INDICES = {
+    "left_arm": [14, 15, 16, 17],
+    "right_arm": [18, 19, 20, 21],
+    "left_leg": [1, 2, 3, 4],
+    "right_leg": [5, 6, 7, 8],
+}
+
+HEIGHT_INDICES = (0, 4, 8, 13, 17, 21)
+
+
+# ---------------------------------------------------------------------------
+# Tracker (runtime) configurations
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Which joints act as end effectors and how the drag loss weighs them."""
+
+    mask: Tuple[int, ...]                      # (22,) 0/1
+    weights: Tuple[Tuple[float, float], ...]   # (22, [pos, rot])
+    enable_joint_adjustment: bool
+    joint_adjustment_indices: Tuple[int, int]  # (joint, end-effector slot)
+    joint_adjustment_weight: float
+    lambda_temporal: float
+    temporal_future_window: int
+    name: str = ""
+
+    @property
+    def mask_indices(self) -> np.ndarray:
+        return np.nonzero(np.asarray(self.mask))[0]
+
+    @property
+    def n_end_effectors(self) -> int:
+        return int(np.asarray(self.mask).sum())
+
+    def mask_array(self) -> np.ndarray:
+        return np.asarray(self.mask, dtype=np.float32)
+
+    def weights_array(self) -> np.ndarray:
+        return np.asarray(self.weights, dtype=np.float32)
+
+    @staticmethod
+    def from_json(path: str, name: str = "") -> "TrackerConfig":
+        with open(path) as f:
+            d = json.load(f)
+        return TrackerConfig(
+            mask=tuple(d["mask"]),
+            weights=tuple(tuple(w) for w in d["weights"]),
+            enable_joint_adjustment=bool(d["enable_joint_adjustment"]),
+            joint_adjustment_indices=tuple(d["joint_adjustment_indices"]),
+            joint_adjustment_weight=float(d["joint_adjustment_weight"]),
+            lambda_temporal=float(d["lambda_temporal"]),
+            temporal_future_window=int(d["temporal_future_window"]),
+            name=name or path,
+        )
+
+
+_BASE_WEIGHTS = tuple(
+    (10.0, 10.0) if j == 0 else
+    (5.0, 0.01) if j in (3, 7, 13, 17, 21) else
+    (1.0, 0.01)
+    for j in range(22)
+)
+
+
+def _mask(indices) -> Tuple[int, ...]:
+    return tuple(1 if j in indices else 0 for j in range(22))
+
+
+SIX_TRACKERS = TrackerConfig(
+    mask=_mask({0, 3, 7, 13, 17, 21}),
+    weights=_BASE_WEIGHTS,
+    enable_joint_adjustment=True,
+    joint_adjustment_indices=(0, 0),
+    joint_adjustment_weight=1.0,
+    lambda_temporal=0.02,
+    temporal_future_window=0,
+    name="6_trackers",
+)
+
+FIVE_TRACKERS = TrackerConfig(
+    mask=_mask({0, 3, 13, 17, 21}),
+    weights=_BASE_WEIGHTS,
+    enable_joint_adjustment=True,
+    joint_adjustment_indices=(0, 0),
+    joint_adjustment_weight=1.0,
+    lambda_temporal=0.1,
+    temporal_future_window=16,
+    name="5_trackers",
+)
+
+FOUR_TRACKERS = TrackerConfig(
+    mask=_mask({0, 13, 17, 21}),
+    weights=_BASE_WEIGHTS,
+    enable_joint_adjustment=True,
+    joint_adjustment_indices=(0, 0),
+    joint_adjustment_weight=1.0,
+    lambda_temporal=0.125,
+    temporal_future_window=16,
+    name="4_trackers",
+)
+
+THREE_TRACKERS = TrackerConfig(
+    mask=_mask({13, 17, 21}),
+    weights=tuple(
+        (20.0, 20.0) if j == 13 else w for j, w in enumerate(_BASE_WEIGHTS)
+    ),
+    enable_joint_adjustment=True,
+    joint_adjustment_indices=(13, 0),
+    joint_adjustment_weight=0.1,
+    lambda_temporal=0.15,
+    temporal_future_window=16,
+    name="3_trackers",
+)
+
+BUILTIN_CONFIGS = {
+    "6_trackers": SIX_TRACKERS,
+    "5_trackers": FIVE_TRACKERS,
+    "4_trackers": FOUR_TRACKERS,
+    "3_trackers": THREE_TRACKERS,
+}
