@@ -1,0 +1,201 @@
+"""Offline drag-reconstruction evaluation (reference ``eval_drag.py`` parity).
+
+Usage::
+
+    python -m dragposer_tpu.cli.eval_drag <model_dir> <bvh-or-dir>
+        [--config 6_trackers | path/to/config.json] [--verbose]
+        [--no-temporal] [--max-frames N] [--save-dir data]
+
+Prints, per sequence: Evaluate Loss, MPJPE, MPEEPE, wall time — the
+reference's de-facto acceptance test (``eval_drag.py:249-252``).  The whole
+frame loop runs as one compiled TPU computation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from dragposer_tpu import config as cfg
+from dragposer_tpu import export, metrics
+from dragposer_tpu.data import encoding
+from dragposer_tpu.drag.engine import DragEngine, DragHyper, DragModel
+from dragposer_tpu.io.bvh import BVH
+from dragposer_tpu.models import loading, vae
+from dragposer_tpu.ops.topology import Skeleton
+
+# Offline optimizer budget (reference ``eval_drag.py:210-215``).
+EVAL_STOP_EPS_POS = 1e-4
+EVAL_STOP_EPS_ROT = 1e-2
+EVAL_MAX_ITER = 100
+EVAL_MIN_LOSS_INCR = 1e-5
+EVAL_LR = 1e-2
+EVAL_LAMBDA_ROT = 1.0
+
+
+def resolve_config(name_or_path: str | None) -> cfg.TrackerConfig:
+    if name_or_path is None:
+        return cfg.SIX_TRACKERS
+    if name_or_path in cfg.BUILTIN_CONFIGS:
+        return cfg.BUILTIN_CONFIGS[name_or_path]
+    return cfg.TrackerConfig.from_json(name_or_path)
+
+
+def build_engine(model_dir: str, parents, tracker: cfg.TrackerConfig,
+                 *, use_temporal: bool = True, skeleton: Skeleton,
+                 max_iter: int = EVAL_MAX_ITER,
+                 learning_rate: float = EVAL_LR) -> tuple[DragEngine, dict, dict]:
+    """Load checkpoints and compile a DragEngine for one tracker config."""
+    params, means, stds = loading.load_generator(model_dir, parents, cfg.VAE_PARAM)
+    temporal_loaded = loading.load_temporal(model_dir, cfg.TEMPORAL_PARAM) if use_temporal else None
+    if use_temporal and temporal_loaded is None:
+        print(f"WARNING: no temporal checkpoint in {model_dir}; "
+              "running without temporal guidance (lambda_temporal = 0)")
+        use_temporal = False
+
+    latent_dim = cfg.VAE_PARAM["latent_dim"]
+    if temporal_loaded is not None:
+        tpar, means_latent, stds_latent = temporal_loaded
+    else:
+        tpar = None
+        means_latent = np.zeros(latent_dim, np.float32)
+        stds_latent = np.ones(latent_dim, np.float32)
+
+    ja = None
+    if tracker.enable_joint_adjustment:
+        joint, ee_slot = tracker.joint_adjustment_indices
+        ee_joint = int(tracker.mask_indices[ee_slot])
+        ja = (int(joint), ee_joint)
+
+    model = DragModel(
+        decoder=params["decoder"],
+        encoder=params["encoder"],
+        temporal=tpar,
+        mean_dqs=np.asarray(means["dqs"], np.float32),
+        std_dqs=np.asarray(stds["dqs"], np.float32),
+        mean_disp=np.asarray(means["displacement"], np.float32),
+        std_disp=np.asarray(stds["displacement"], np.float32),
+        means_latent=np.asarray(means_latent, np.float32),
+        stds_latent=np.asarray(stds_latent, np.float32),
+        mask=tracker.mask_array(),
+        weights=tracker.weights_array(),
+    )
+    hyper = DragHyper(
+        max_iter=max_iter,
+        stop_eps_pos=EVAL_STOP_EPS_POS,
+        stop_eps_rot=EVAL_STOP_EPS_ROT,
+        min_loss_incr=EVAL_MIN_LOSS_INCR,
+        learning_rate=learning_rate,
+        lambda_rot=EVAL_LAMBDA_ROT,
+        lambda_temporal=tracker.lambda_temporal,
+        temporal_future_window=tracker.temporal_future_window,
+        sample_step=cfg.TEMPORAL_PARAM["sample_step"],
+        past_frames=tuple(cfg.TEMPORAL_PARAM["past_frames"]),
+        height_indices=tuple(cfg.HEIGHT_INDICES),
+        use_temporal=use_temporal,
+        joint_adjustment=ja,
+        joint_adjustment_weight=tracker.joint_adjustment_weight,
+    )
+    statics = vae.build_statics(parents, cfg.VAE_PARAM)
+    engine = DragEngine(model, statics, skeleton, hyper, cfg.TEMPORAL_PARAM)
+    return engine, means, stds
+
+
+def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
+                  *, max_frames: int | None = None, save_dir: str = "data",
+                  verbose: bool = False, seed: int = cfg.VAE_PARAM["seed"]):
+    filename = os.path.basename(input_path)
+    bvh = BVH().load(input_path)
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    motion = encoding.encode_motion(
+        offsets, pos[:, 0, :], rots, skeleton,
+        downsample=cfg.VAE_PARAM["downsample"],
+        height_indices=cfg.HEIGHT_INDICES,
+    )
+    norm = encoding.normalize(motion, means, stds)
+
+    n_frames = norm.dqs.shape[0] if max_frames is None else min(max_frames, norm.dqs.shape[0])
+    dqs = norm.dqs[:n_frames]
+    gp = norm.global_pos[:n_frames]
+    gr = norm.global_rot[:n_frames]
+
+    key = jax.random.PRNGKey(seed)
+    initial_pose = np.tile(dqs[0][:, None], (1, cfg.VAE_PARAM["window_size"]))
+    state = engine.init_state(key, initial_pose, gp[0], gr[0], motion.heights[0])
+
+    start = time.time()
+    _, (poses, global_pos, iters) = engine.run(state, dqs, gp, gr)
+    poses = np.asarray(poses)          # blocks until done
+    global_pos = np.asarray(global_pos)
+    elapsed = time.time() - start
+
+    if verbose:
+        it = np.asarray(iters)
+        print(f"iterations/frame: mean {it.mean():.1f}, max {int(it.max())}, "
+              f"min {int(it.min())}")
+
+    out_bvh = export.result_to_bvh(
+        poses, means, stds, bvh, skeleton,
+        global_pos=global_pos, are_root_rot_incr=False,
+    )
+    os.makedirs(save_dir, exist_ok=True)
+    eval_path = os.path.join(save_dir, "eval_" + filename)
+    out_bvh.save(eval_path)
+
+    mpjpe, mpeepe = metrics.positional_error(
+        bvh, BVH().load(eval_path), downsample_gt=1
+    )
+    print(f"Evaluate Loss: {mpjpe + mpeepe}")
+    print(f"Mean Per Joint Position Error: {mpjpe}")
+    print(f"Mean End Effector Position Error: {mpeepe}")
+    print(f"Time: {elapsed}")
+    return mpjpe, mpeepe, elapsed, n_frames
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate DragPoser-TPU")
+    parser.add_argument("model_path", type=str, help="model folder "
+                        "(native .npz or reference .pt checkpoints)")
+    parser.add_argument("input_path", type=str,
+                        help=".bvh file or directory of .bvh files")
+    parser.add_argument("--config", type=str, default=None,
+                        help="builtin name (6_trackers/5_trackers/4_trackers/"
+                             "3_trackers) or a config JSON path")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--no-temporal", action="store_true",
+                        help="disable the temporal predictor (lambda_t = 0)")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--save-dir", type=str, default="data")
+    args = parser.parse_args(argv)
+
+    tracker = resolve_config(args.config)
+
+    if os.path.isdir(args.input_path):
+        files = sorted(
+            os.path.join(args.input_path, f)
+            for f in os.listdir(args.input_path) if f.endswith(".bvh")
+        )
+    else:
+        files = [args.input_path]
+
+    first = BVH().load(files[0])
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(first)
+    skeleton = Skeleton.build(parents, offsets, first.names)
+
+    engine, means, stds = build_engine(
+        args.model_path, parents, tracker,
+        use_temporal=not args.no_temporal, skeleton=skeleton,
+    )
+    for path in files:
+        print(f"Evaluate {path} ------------------------")
+        evaluate_file(engine, means, stds, skeleton, path,
+                      max_frames=args.max_frames, save_dir=args.save_dir,
+                      verbose=args.verbose)
+
+
+if __name__ == "__main__":
+    main()

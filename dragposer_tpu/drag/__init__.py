@@ -1,6 +1,7 @@
 """Drag-optimization runtime: latent-space pose optimization (the product)."""
 
 from dragposer_tpu.drag.engine import (  # noqa: F401
+    DragEngine,
     DragHyper,
     DragModel,
     DragState,

@@ -1,0 +1,510 @@
+"""The drag-optimization runtime: latent-space pose optimization on TPU.
+
+One *frame step* — temporal-transformer rollout, Adam iterations on the
+latent, global-pose advance, ring-buffer shifts — is a single pure function;
+an entire sequence is one ``lax.scan`` over it, and batches of sequences are
+``vmap``-ed and sharded over a device mesh.  This replaces the reference's
+per-frame Python interpreter loop (``python/src/drag_pose.py``) with exactly
+one compiled device computation per sequence.
+
+Numeric parity notes (each mirrors a reference behavior):
+
+* a *fresh* Adam state every frame (``drag_pose.py:218``);
+* the stop rule ``(loss_pos > εp or λr·loss_rot > εr) and iters < max_iter
+  and loss_incr > min_incr`` evaluated on the *previous* iteration's values
+  (``drag_pose.py:300-304``), realized as a ``lax.while_loop`` condition —
+  under ``vmap`` JAX masks per-element updates, preserving per-sequence
+  early exit;
+* the ring buffers record the latent *before* the final Adam step — the one
+  that produced the last decode (``drag_pose.py:309,385``);
+* the temporal rollout feeds decoder outputs back autoregressively with *no*
+  target mask in the reference (``drag_pose.py:273``); on a fixed-size token
+  buffer a causal mask reproduces this exactly (row k attends to the k+1
+  real tokens only);
+* the "upsample" of rollout predictions is a constant-hold, not a lerp
+  (``drag_pose.py:282-289``): target[k] = prediction[max(ceil(k/step), 1)]
+  for window > 0;
+* the joint adjustment translates the root toward the target end effector
+  and adds the same world-space correction to the *root-space* displacement
+  buffer entry (``drag_pose.py:373-381``) — kept verbatim;
+* heights-buffer entries add the already-advanced global position to
+  FK positions that are relative to the previous root (``drag_pose.py:389``)
+  — kept verbatim.
+
+End effectors are dense: the mask is a (22,) float vector and targets are
+full (22, …) arrays, so tracker dropout / mask edits at runtime never
+trigger recompilation (weights of inactive joints simply multiply to zero;
+the normalizer is the traced count of active joints).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dragposer_tpu.models import temporal as temporal_model
+from dragposer_tpu.models import vae
+from dragposer_tpu.ops import fk, quat
+from dragposer_tpu.ops.topology import Skeleton
+
+
+# ---------------------------------------------------------------------------
+# Static configuration / model bundles
+# ---------------------------------------------------------------------------
+
+class DragHyper(NamedTuple):
+    """Hashable static configuration — changing any field recompiles."""
+
+    max_iter: int = 100
+    stop_eps_pos: float = 1e-4
+    stop_eps_rot: float = 1e-2
+    min_loss_incr: float = 1e-5
+    learning_rate: float = 1e-2
+    lambda_rot: float = 1.0
+    lambda_temporal: float = 0.02
+    temporal_future_window: int = 0          # 0 → re-predict every frame
+    sample_step: int = 4
+    past_frames: Tuple[int, ...] = tuple(range(0, 60, 4))
+    height_indices: Tuple[int, ...] = (0, 4, 8, 13, 17, 21)
+    use_temporal: bool = True
+    joint_adjustment: Optional[Tuple[int, int]] = (0, 0)  # (joint, ee joint) or None
+    joint_adjustment_weight: float = 1.0
+
+
+class DragModel(NamedTuple):
+    """Traced model bundle (arrays only — safe to donate / shard)."""
+
+    decoder: Any                 # decoder params pytree
+    encoder: Any                 # encoder params pytree
+    temporal: Any                # temporal transformer params (or None)
+    mean_dqs: jnp.ndarray        # (J*8,)
+    std_dqs: jnp.ndarray         # (J*8,)
+    mean_disp: jnp.ndarray       # (3,)
+    std_disp: jnp.ndarray        # (3,)
+    means_latent: jnp.ndarray    # (L,)
+    stds_latent: jnp.ndarray     # (L,)
+    mask: jnp.ndarray            # (J,) float 0/1 — active end effectors
+    weights: jnp.ndarray         # (J, 2) [pos, rot] loss weights
+
+
+class DragState(NamedTuple):
+    """Per-sequence recurrent state carried across frames."""
+
+    latent: jnp.ndarray               # (L,)
+    global_pos: jnp.ndarray           # (3,)
+    global_rot: jnp.ndarray           # (4,)
+    latent_buffer: jnp.ndarray        # (past_size, L)
+    displacement_buffer: jnp.ndarray  # (past_size, 3)
+    heights_buffer: jnp.ndarray       # (past_size, H)
+    target_buffer: jnp.ndarray        # (W+1, L) rollout predictions
+    current_index: jnp.ndarray        # () int32
+
+
+def _quat_stats(model: DragModel):
+    mean_q = model.mean_dqs.reshape(-1, 8)[:, :4].reshape(-1)
+    std_q = model.std_dqs.reshape(-1, 8)[:, :4].reshape(-1)
+    return mean_q, std_q
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_state(
+    model: DragModel,
+    statics: vae.VAEStatics,
+    hyper: DragHyper,
+    key,
+    initial_pose: jnp.ndarray,        # (J*8, T) normalized dqs
+    initial_global_pos: jnp.ndarray,  # (3,)
+    initial_global_rot: jnp.ndarray,  # (4,)
+    initial_heights: jnp.ndarray,     # (H,)
+) -> DragState:
+    """Encode the initial pose to seed the latent and tile the ring buffers
+    (reference ``drag_pose.py:47-64``)."""
+    mu, logvar = vae.encode(model.encoder, statics, initial_pose[None])
+    latent = vae.reparameterize(key, mu, logvar)[0]
+    past_size = hyper.past_frames[-1] + hyper.sample_step  # == future_frames[0]
+    return DragState(
+        latent=latent,
+        global_pos=jnp.asarray(initial_global_pos),
+        global_rot=jnp.asarray(initial_global_rot),
+        latent_buffer=jnp.tile(latent[None], (past_size, 1)),
+        displacement_buffer=jnp.zeros((past_size, 3)),
+        heights_buffer=jnp.tile(jnp.asarray(initial_heights)[None], (past_size, 1)),
+        target_buffer=jnp.zeros(
+            (hyper.temporal_future_window + 1, latent.shape[-1])
+        ),
+        current_index=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal rollout
+# ---------------------------------------------------------------------------
+
+def _hold_index(window: int, step: int) -> np.ndarray:
+    """Static map target-buffer slot → rollout prediction index.
+
+    Reproduces the reference's sequence of constant-hold overwrites
+    (``drag_pose.py:282-289``): slot k reads prediction ⌈k/step⌉, except
+    slot 0 which ends up holding prediction 1 (for window > 0)."""
+    if window == 0:
+        return np.zeros(1, dtype=np.int32)
+    idx = np.maximum((np.arange(window + 1) + step - 1) // step, 1)
+    return idx.astype(np.int32)
+
+
+def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
+                      state: DragState) -> jnp.ndarray:
+    """Autoregressive prediction of the next ``window+1`` latents.
+
+    Returns the new target buffer (W+1, L), denormalized.
+    """
+    past = np.asarray(hyper.past_frames)
+    step = hyper.sample_step
+    latent_dim = state.latent.shape[-1]
+
+    lat = state.latent_buffer[past][:-1]                       # (P-1, L)
+    lat = (lat - model.means_latent) / model.stds_latent
+    acc_idx = past[:-1, None] + np.arange(step)[None, :]       # static (P-1, S)
+    disp_acc = state.displacement_buffer[acc_idx].sum(axis=1)  # (P-1, 3)
+    heights = state.heights_buffer[past][:-1]                  # (P-1, H)
+    enc_in = jnp.concatenate((lat, disp_acc, heights), axis=-1)[None]
+
+    n_steps = hyper.temporal_future_window // step + 1
+    token0 = (state.latent_buffer[past][-1] - model.means_latent) / model.stds_latent
+    tokens0 = jnp.zeros((n_steps, latent_dim)).at[0].set(token0)
+    mask = temporal_model.causal_mask(n_steps)
+
+    def body(carry, k):
+        tokens, outs = carry
+        pred = temporal_model.forward(
+            model.temporal, tparam, enc_in, tokens[None], tgt_mask=mask
+        )[0]                                                    # (n_steps, L)
+        out_k = jnp.take(pred, k, axis=0)
+        tokens = jax.lax.cond(
+            k + 1 < n_steps,
+            lambda t: t.at[jnp.minimum(k + 1, n_steps - 1)].set(out_k),
+            lambda t: t,
+            tokens,
+        )
+        outs = outs.at[k].set(out_k)
+        return (tokens, outs), None
+
+    outs0 = jnp.zeros((n_steps, latent_dim))
+    (_, outs), _ = jax.lax.scan(body, (tokens0, outs0), jnp.arange(n_steps))
+    outs = outs * model.stds_latent + model.means_latent
+    return outs[jnp.asarray(_hold_index(hyper.temporal_future_window, step))]
+
+
+# ---------------------------------------------------------------------------
+# The per-frame loss (differentiated w.r.t. the latent)
+# ---------------------------------------------------------------------------
+
+class _LossAux(NamedTuple):
+    loss_pos: jnp.ndarray
+    loss_rot: jnp.ndarray            # already scaled by lambda_rot
+    world_displacement: jnp.ndarray  # (3,)
+    displacement: jnp.ndarray        # (3,) root-space
+    world_rotation: jnp.ndarray      # (4,)
+    positions: jnp.ndarray           # (J, 3) relative to the previous root
+    pose: jnp.ndarray                # (J*4,) normalized decoder output
+
+
+def _drag_loss(latent, model: DragModel, statics, skeleton: Skeleton,
+               hyper: DragHyper, global_rot, target_ee_pos, target_ee_rot,
+               target_latent):
+    """Reference ``DragPose.loss`` (``drag_pose.py:66-194``), dense-masked."""
+    mean_q, std_q = _quat_stats(model)
+    pose_n, disp_n = vae.decode(
+        model.decoder, statics, latent[None], model.mean_dqs, model.std_dqs
+    )
+    pose_n = pose_n[0, :, 0]
+    disp = disp_n[0, :, 0] * model.std_disp + model.mean_disp
+    qs = (pose_n * std_q + mean_q).reshape(-1, 4)
+
+    world_rotation = quat.mul(global_rot, qs[0])      # incremental → world
+    rs = qs.at[0].set(world_rotation)
+    world_displacement = quat.mul_vec(world_rotation, disp)
+
+    # FK in world space with the previous root as origin
+    positions, world_quats = fk.fk_root_space(rs, world_displacement, skeleton)
+    rotmats = quat.to_matrix(world_quats)
+
+    n_ee = jnp.maximum(jnp.sum(model.mask), 1.0)
+    w_pos = model.mask * model.weights[:, 0]
+    w_rot = model.mask * model.weights[:, 1]
+    loss_pos = jnp.sum(
+        w_pos[:, None] * (positions - target_ee_pos) ** 2
+    ) / (n_ee * 3.0)
+    loss_rot = jnp.sum(
+        w_rot[:, None, None] * (rotmats - target_ee_rot) ** 2
+    ) / (n_ee * 9.0)
+    loss_temporal = jnp.mean((latent - target_latent) ** 2)
+
+    loss_rot = loss_rot * hyper.lambda_rot
+    lam_t = hyper.lambda_temporal if hyper.use_temporal else 0.0
+    total = loss_pos + loss_rot + loss_temporal * lam_t
+    aux = _LossAux(
+        loss_pos=loss_pos,
+        loss_rot=loss_rot,
+        world_displacement=world_displacement,
+        displacement=disp,
+        world_rotation=world_rotation,
+        positions=positions,
+        pose=pose_n,
+    )
+    return total, aux
+
+
+# ---------------------------------------------------------------------------
+# The optimization loop (fresh Adam on the latent, early exit)
+# ---------------------------------------------------------------------------
+
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+class _OptCarry(NamedTuple):
+    latent: jnp.ndarray
+    m: jnp.ndarray
+    v: jnp.ndarray
+    t: jnp.ndarray          # iteration counter, int32
+    prev_loss: jnp.ndarray
+    loss_pos: jnp.ndarray
+    loss_rot: jnp.ndarray
+    loss_incr: jnp.ndarray
+    decoded_latent: jnp.ndarray   # latent that produced `aux` (pre-step)
+    aux: _LossAux
+
+
+def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
+              global_rot, target_ee_pos, target_ee_rot, target_latent):
+    loss_grad = jax.value_and_grad(_drag_loss, has_aux=True)
+
+    def cond(c: _OptCarry):
+        return (
+            ((c.loss_pos > hyper.stop_eps_pos) | (c.loss_rot > hyper.stop_eps_rot))
+            & (c.t < hyper.max_iter)
+            & (c.loss_incr > hyper.min_loss_incr)
+        )
+
+    def body(c: _OptCarry):
+        (total, aux), g = loss_grad(
+            c.latent, model, statics, skeleton, hyper, global_rot,
+            target_ee_pos, target_ee_rot, target_latent,
+        )
+        t = c.t + 1
+        m = _ADAM_B1 * c.m + (1.0 - _ADAM_B1) * g
+        v = _ADAM_B2 * c.v + (1.0 - _ADAM_B2) * g * g
+        tf = t.astype(jnp.float32)
+        m_hat = m / (1.0 - _ADAM_B1 ** tf)
+        v_hat = v / (1.0 - _ADAM_B2 ** tf)
+        latent = c.latent - hyper.learning_rate * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
+        return _OptCarry(
+            latent=latent, m=m, v=v, t=t,
+            prev_loss=total,
+            loss_pos=aux.loss_pos,
+            loss_rot=aux.loss_rot,
+            loss_incr=c.prev_loss - total,
+            decoded_latent=c.latent,
+            aux=aux,
+        )
+
+    j = skeleton.n_joints
+    init = _OptCarry(
+        latent=latent0,
+        m=jnp.zeros_like(latent0),
+        v=jnp.zeros_like(latent0),
+        t=jnp.zeros((), jnp.int32),
+        prev_loss=jnp.asarray(1e7, jnp.float32),
+        loss_pos=jnp.asarray(jnp.inf, jnp.float32),
+        loss_rot=jnp.asarray(jnp.inf, jnp.float32),
+        loss_incr=jnp.asarray(1.0, jnp.float32),
+        decoded_latent=latent0,
+        aux=_LossAux(
+            loss_pos=jnp.asarray(jnp.inf),
+            loss_rot=jnp.asarray(jnp.inf),
+            world_displacement=jnp.zeros(3),
+            displacement=jnp.zeros(3),
+            world_rotation=jnp.zeros(4).at[0].set(1.0),
+            positions=jnp.zeros((j, 3)),
+            pose=jnp.zeros(j * 4),
+        ),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+# ---------------------------------------------------------------------------
+# One frame
+# ---------------------------------------------------------------------------
+
+def frame_step(
+    model: DragModel,
+    statics: vae.VAEStatics,
+    skeleton: Skeleton,
+    hyper: DragHyper,
+    tparam,
+    state: DragState,
+    target_ee_pos: jnp.ndarray,   # (J, 3), garbage at inactive joints
+    target_ee_rot: jnp.ndarray,   # (J, 3, 3)
+) -> Tuple[DragState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """One frame of drag optimization (reference ``DragPose.run``).
+
+    Returns (new_state, (pose (J*4,) normalized with world-rotation root slot,
+    global_pos (3,), iterations used)).
+    """
+    mean_q, std_q = _quat_stats(model)
+
+    # --- temporal rollout every `window` frames (cond avoids the cost when idle)
+    if hyper.use_temporal:
+        target_buffer = jax.lax.cond(
+            state.current_index == 0,
+            lambda s: _temporal_rollout(model, hyper, tparam, s),
+            lambda s: s.target_buffer,
+            state,
+        )
+        target_latent = target_buffer[state.current_index]
+    else:
+        target_buffer = state.target_buffer
+        target_latent = jnp.zeros_like(state.latent)
+
+    # --- latent optimization
+    final = _optimize(
+        state.latent, model, statics, skeleton, hyper,
+        state.global_rot, target_ee_pos, target_ee_rot, target_latent,
+    )
+    aux = final.aux
+
+    # --- advance global transform
+    global_pos = state.global_pos + aux.world_displacement
+    global_rot = aux.world_rotation
+
+    displacement = aux.displacement
+    if hyper.joint_adjustment is not None:
+        joint_idx, ee_joint = hyper.joint_adjustment
+        adjustment = (
+            target_ee_pos[ee_joint] - aux.positions[joint_idx]
+        ) * hyper.joint_adjustment_weight
+        global_pos = global_pos + adjustment
+        displacement = displacement + adjustment  # world-space add, as reference
+
+    # --- ring buffers
+    heights = (aux.positions + global_pos)[
+        jnp.asarray(hyper.height_indices), 1
+    ]
+    new_state = DragState(
+        latent=final.latent,
+        global_pos=global_pos,
+        global_rot=global_rot,
+        latent_buffer=jnp.concatenate(
+            (state.latent_buffer[1:], final.decoded_latent[None]), axis=0
+        ),
+        displacement_buffer=jnp.concatenate(
+            (state.displacement_buffer[1:], displacement[None]), axis=0
+        ),
+        heights_buffer=jnp.concatenate(
+            (state.heights_buffer[1:], heights[None]), axis=0
+        ),
+        target_buffer=target_buffer,
+        current_index=(
+            jnp.zeros((), jnp.int32)
+            if hyper.temporal_future_window == 0
+            else (state.current_index + 1) % hyper.temporal_future_window
+        ),
+    )
+
+    pose_out = aux.pose.at[:4].set((global_rot - mean_q[:4]) / std_q[:4])
+    return new_state, (pose_out, global_pos, final.t)
+
+
+# ---------------------------------------------------------------------------
+# Offline evaluation: GT-driven targets + scan over all frames
+# ---------------------------------------------------------------------------
+
+def _eval_targets(model: DragModel, skeleton: Skeleton, state: DragState,
+                  dqs_norm, gt_global_pos, gt_global_rot):
+    """Build per-frame end-effector targets from ground truth
+    (reference ``eval_drag.py:164-202``)."""
+    mean_q, std_q = _quat_stats(model)
+    qs = dqs_norm.reshape(-1, 8)[:, :4] * std_q.reshape(-1, 4) + mean_q.reshape(-1, 4)
+    rs = qs.at[0].set(gt_global_rot)
+    displacement = gt_global_pos - state.global_pos
+    positions, world_quats = fk.fk_root_space(rs, displacement, skeleton)
+    return positions, quat.to_matrix(world_quats)
+
+
+def eval_frame_step(model, statics, skeleton, hyper, tparam, state,
+                    frame_inputs):
+    dqs_norm, gt_pos, gt_rot = frame_inputs
+    tpos, trot = _eval_targets(model, skeleton, state, dqs_norm, gt_pos, gt_rot)
+    return frame_step(model, statics, skeleton, hyper, tparam, state, tpos, trot)
+
+
+def run_sequence(model, statics, skeleton, hyper: DragHyper, tparam,
+                 state: DragState, dqs_norm, gt_pos, gt_rot):
+    """Reconstruct a full sequence (un-jitted building block; prefer
+    :class:`DragEngine` which compiles this once)."""
+
+    def step(carry, inputs):
+        return eval_frame_step(model, statics, skeleton, hyper, tparam,
+                               carry, inputs)
+
+    return jax.lax.scan(step, state, (dqs_norm, gt_pos, gt_rot))
+
+
+class DragEngine:
+    """Compiled drag runtime for a fixed (skeleton, hyper, temporal-config).
+
+    Static structure (topology, hyperparameters) is closed over; model
+    weights and state are traced arguments, so weight updates and batching
+    never recompile.  Exposes:
+
+    * ``init_state(key, pose, gp, gr, heights)`` — encode + seed buffers;
+    * ``step(state, target_ee_pos, target_ee_rot)`` — one realtime frame;
+    * ``run(state, dqs_norm, gt_pos, gt_rot)`` — offline full-sequence scan;
+    * ``run_batch(...)`` — the same, vmapped over a leading batch axis.
+    """
+
+    def __init__(self, model: DragModel, statics, skeleton: Skeleton,
+                 hyper: DragHyper, tparam):
+        self.model = model
+        self.statics = statics
+        self.skeleton = skeleton
+        self.hyper = hyper
+        self.tparam = tparam
+
+        def _init(model, key, pose, gp, gr, heights):
+            return init_state(model, statics, hyper, key, pose, gp, gr, heights)
+
+        def _step(model, state, tpos, trot):
+            return frame_step(model, statics, skeleton, hyper, tparam,
+                              state, tpos, trot)
+
+        def _run(model, state, dqs, gp, gr):
+            return run_sequence(model, statics, skeleton, hyper, tparam,
+                                state, dqs, gp, gr)
+
+        self._init = jax.jit(_init)
+        self._step = jax.jit(_step)
+        self._run = jax.jit(_run)
+        self._run_batch = jax.jit(
+            jax.vmap(_run, in_axes=(None, 0, 0, 0, 0))
+        )
+
+    def init_state(self, key, initial_pose, initial_global_pos,
+                   initial_global_rot, initial_heights) -> DragState:
+        return self._init(self.model, key, initial_pose, initial_global_pos,
+                          initial_global_rot, initial_heights)
+
+    def step(self, state, target_ee_pos, target_ee_rot):
+        return self._step(self.model, state, target_ee_pos, target_ee_rot)
+
+    def run(self, state, dqs_norm, gt_pos, gt_rot):
+        return self._run(self.model, state, dqs_norm, gt_pos, gt_rot)
+
+    def run_batch(self, states, dqs_norm, gt_pos, gt_rot):
+        return self._run_batch(self.model, states, dqs_norm, gt_pos, gt_rot)
