@@ -1,0 +1,104 @@
+"""Headline benchmark: batched 6-tracker drag reconstruction throughput.
+
+Measures reconstructed frames/second on one chip for the full eval_drag
+pipeline — temporal rollout every frame (window 0), up-to-100 Adam
+iterations with the reference's early-stop rule, FK + autodiff per
+iteration — over a batch of sequences built from the reference example data.
+
+Prints ONE json line:
+    {"metric": "frames_per_sec_6tracker", "value": N, "unit": "frames/s",
+     "vs_baseline": N / 5000}
+
+Baseline target (BASELINE.json): >= 5000 reconstructed frames/s/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "240"))
+START_FRAME = 2000  # a dynamic segment (the head of the clip is a T-pose)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dragposer_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from dragposer_tpu import config as cfg
+    from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
+    from dragposer_tpu.data import encoding
+    from dragposer_tpu.drag import engine as eng
+    from dragposer_tpu.io.bvh import BVH
+    from dragposer_tpu.ops.topology import Skeleton
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    model_dir = os.path.join(here, "models/model_dancedb_example")
+    bvh_path = "/root/reference/python/data/example/eval/example.bvh"
+
+    bvh = BVH().load(bvh_path)
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    skeleton = Skeleton.build(parents, offsets, bvh.names)
+
+    engine, means, stds = build_engine(
+        model_dir, parents, resolve_config("6_trackers"),
+        use_temporal=True, skeleton=skeleton,
+    )
+
+    s = START_FRAME
+    seg = slice(s, s + FRAMES)
+    motion = encoding.encode_motion(
+        offsets, pos[seg, 0, :], rots[seg], skeleton,
+        height_indices=cfg.HEIGHT_INDICES,
+    )
+    norm = encoding.normalize(motion, means, stds)
+
+    # batch of sequences: tile the segment with per-sequence phase offsets so
+    # while-loop trip counts differ across the batch (realistic load)
+    dqs = np.stack([np.roll(norm.dqs, -i, axis=0) for i in range(BATCH)])
+    gp = np.stack([np.roll(norm.global_pos, -i, axis=0) for i in range(BATCH)])
+    gr = np.stack([np.roll(norm.global_rot, -i, axis=0) for i in range(BATCH)])
+
+    keys = jax.random.split(jax.random.PRNGKey(cfg.VAE_PARAM["seed"]), BATCH)
+    heights0 = jnp.tile(jnp.asarray(motion.heights[0])[None], (BATCH, 1))
+    states = jax.vmap(
+        lambda k, d, g, r, h: eng.init_state(
+            engine.model, engine.statics, engine.hyper, k,
+            d[0][:, None], g[0], r[0], h,
+        )
+    )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), heights0)
+
+    # warmup: the SAME program shape (a different frame count would compile
+    # a different scan and leave the timed call paying the compile)
+    _, (p0, _, _) = engine.run_batch(states, dqs, gp, gr)
+    jax.block_until_ready(p0)
+
+    t0 = time.time()
+    _, (poses, gpos, iters) = engine.run_batch(states, dqs, gp, gr)
+    jax.block_until_ready(poses)
+    elapsed = time.time() - t0
+
+    total_frames = BATCH * FRAMES
+    fps = total_frames / elapsed
+    result = {
+        "metric": "frames_per_sec_6tracker",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 5000.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,8 +104,11 @@ def build_temporal_dataset(motions: List[encoding.EncodedMotion], param,
                 continue
             dq_w = n.dqs[start:end]
             disp_w = n.displacement[start : end + sample_step]
+            # accumulated displacement stays RAW (the reference never
+            # normalizes displacement_past_acc, motion_data.py:82-98)
+            raw_w = m.displacement[start : end + sample_step]
             acc = np.stack(
-                [disp_w[i : i + sample_step].sum(axis=0) for i in past]
+                [raw_w[i : i + sample_step].sum(axis=0) for i in past]
             )
             rows["dqs_past"].append(dq_w[past])
             rows["dqs_future"].append(dq_w[future])

@@ -23,6 +23,8 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
+from dragposer_tpu.ops import host_device as _host_device
+
 from dragposer_tpu.io.bvh import BVH
 from dragposer_tpu.ops import dual_quat, fk, quat
 from dragposer_tpu.ops.topology import Skeleton
@@ -33,15 +35,17 @@ def info_from_bvh(bvh: BVH):
     offsets, bvh).  Mirrors ``train.py:329-341`` (root parent and root offset
     forced to zero)."""
     order_idx = quat.order_to_indices(bvh.rot_order)
-    rots = quat.from_euler(
-        jnp.asarray(np.radians(bvh.rotations), dtype=jnp.float32), order_idx[None]
-    )
-    rots = quat.normalize(quat.unroll(rots, axis=0))
+    with _host_device():
+        rots = quat.from_euler(
+            jnp.asarray(np.radians(bvh.rotations), dtype=jnp.float32),
+            order_idx[None],
+        )
+        rots = np.asarray(quat.normalize(quat.unroll(rots, axis=0)))
     parents = np.asarray(bvh.parents).copy()
     parents[0] = 0
     offsets = np.asarray(bvh.offsets, dtype=np.float32).copy()
     offsets[0] = 0.0
-    return np.asarray(rots), bvh.positions.astype(np.float32), parents, offsets, bvh
+    return rots, bvh.positions.astype(np.float32), parents, offsets, bvh
 
 
 @dataclass
@@ -75,36 +79,37 @@ def encode_motion(
         global_pos = global_pos[::downsample]
         rotations = rotations[::downsample]
 
-    rot = jnp.asarray(rotations, dtype=jnp.float32)
-    gp = jnp.asarray(global_pos, dtype=jnp.float32)
-    root_rot = rot[:, 0, :]
+    with _host_device():
+        rot = jnp.asarray(rotations, dtype=jnp.float32)
+        gp = jnp.asarray(global_pos, dtype=jnp.float32)
+        root_rot = rot[:, 0, :]
 
-    disp_world = jnp.concatenate((jnp.zeros((1, 3)), gp[1:] - gp[:-1]), axis=0)
-    displacement = quat.mul_vec(quat.inverse(root_rot), disp_world)
+        disp_world = jnp.concatenate((jnp.zeros((1, 3)), gp[1:] - gp[:-1]), axis=0)
+        displacement = quat.mul_vec(quat.inverse(root_rot), disp_world)
 
-    incr = jnp.concatenate(
-        (
-            jnp.asarray([[1.0, 0.0, 0.0, 0.0]]),
-            quat.mul(quat.inverse(root_rot[:-1]), root_rot[1:]),
-        ),
-        axis=0,
-    )
+        incr = jnp.concatenate(
+            (
+                jnp.asarray([[1.0, 0.0, 0.0, 0.0]]),
+                quat.mul(quat.inverse(root_rot[:-1]), root_rot[1:]),
+            ),
+            axis=0,
+        )
 
-    rs_rot, rs_pos = fk.to_root_space(rot, jnp.zeros_like(gp), skeleton)
-    dqs = dual_quat.from_rotation_translation(rs_rot, rs_pos)
+        rs_rot, rs_pos = fk.to_root_space(rot, jnp.zeros_like(gp), skeleton)
+        dqs = dual_quat.from_rotation_translation(rs_rot, rs_pos)
 
-    heights = None
-    if height_indices is not None:
-        # world position of each joint = root_rot · root_frame_pos + global_pos
-        dq_r, dq_t = dual_quat.to_rotation_translation(dqs)
-        t_world = quat.mul_vec(dq_r[:, 0:1, :], dq_t) + gp[:, None, :]
-        heights = np.asarray(t_world[:, list(height_indices), 1])
+        heights = None
+        if height_indices is not None:
+            # world position of each joint = root_rot · root_frame_pos + global_pos
+            dq_r, dq_t = dual_quat.to_rotation_translation(dqs)
+            t_world = quat.mul_vec(dq_r[:, 0:1, :], dq_t) + gp[:, None, :]
+            heights = np.asarray(t_world[:, list(height_indices), 1])
 
-    dqs = dqs.at[:, 0, :4].set(incr)
-    dqs = dual_quat.unroll(dqs, axis=0)
-    dqs = dqs.at[:, 0, 4:7].set(displacement)
-    dqs = dqs.at[:, 0, 7].set(0.0)
-    dqs = dqs.reshape(dqs.shape[0], -1)
+        dqs = dqs.at[:, 0, :4].set(incr)
+        dqs = dual_quat.unroll(dqs, axis=0)
+        dqs = dqs.at[:, 0, 4:7].set(displacement)
+        dqs = dqs.at[:, 0, 7].set(0.0)
+        dqs = dqs.reshape(dqs.shape[0], -1)
 
     displacement_acc = None
     if sample_step is not None:

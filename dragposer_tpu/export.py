@@ -15,7 +15,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from dragposer_tpu.io.bvh import BVH
-from dragposer_tpu.ops import fk, quat
+from dragposer_tpu.ops import fk, host_device, quat
 from dragposer_tpu.ops.topology import Skeleton
 
 
@@ -32,6 +32,19 @@ def result_to_bvh(
     correct_drift_frames: int = 64,
     gt_rotations: Optional[np.ndarray] = None,   # (F, 4) GT root quats for drift reset
 ) -> BVH:
+    with host_device():
+        return _result_to_bvh(
+            poses, means, stds, bvh, skeleton,
+            displacement=displacement, global_pos=global_pos,
+            are_root_rot_incr=are_root_rot_incr,
+            correct_drift_frames=correct_drift_frames,
+            gt_rotations=gt_rotations,
+        )
+
+
+def _result_to_bvh(poses, means, stds, bvh, skeleton, *, displacement,
+                   global_pos, are_root_rot_incr, correct_drift_frames,
+                   gt_rotations):
     frames = poses.shape[0]
     mean_q = means["dqs"].reshape(-1, 8)[:, :4].reshape(-1)
     std_q = stds["dqs"].reshape(-1, 8)[:, :4].reshape(-1)
@@ -39,15 +52,12 @@ def result_to_bvh(
 
     if are_root_rot_incr:
         assert gt_rotations is not None, "drift reset needs GT root rotations"
-        # integrate incremental root rotations; reset to GT every block
-        for i in range(0, frames, correct_drift_frames):
-            qs[i, 0, :] = gt_rotations[i]
-            for j in range(1, correct_drift_frames):
-                if i + j >= frames:
-                    break
-                qs[i + j, 0, :] = np.asarray(
-                    quat.mul(qs[i + j - 1, 0, :], qs[i + j, 0, :])
-                )
+        # Integrate incremental root rotations, resetting to GT at every
+        # block start — vectorized as a per-block quaternion prefix product
+        # (associative scan) instead of the reference's frame loop.
+        qs[:, 0, :] = _integrate_blocks(
+            qs[:, 0, :], gt_rotations, correct_drift_frames
+        )
 
     local = np.asarray(fk.from_root_quat(qs.astype(np.float32), skeleton))
     order_idx = quat.order_to_indices(bvh.rot_order)
@@ -63,10 +73,25 @@ def result_to_bvh(
             displacement * stds["displacement"] + means["displacement"]
         ).astype(np.float64)
         world_dis = np.asarray(quat.mul_vec(local[:, 0, :], disp.astype(np.float32)))
-        for i in range(0, frames, correct_drift_frames):
-            for j in range(1, correct_drift_frames):
-                if i + j >= frames:
-                    break
-                positions[i + j, 0, :] = positions[i + j - 1, 0, :] + world_dis[i + j]
+        # per-block cumulative sums anchored at the block-start GT position
+        block = correct_drift_frames
+        for start in range(0, frames, block):
+            end = min(start + block, frames)
+            seg = np.cumsum(world_dis[start + 1 : end], axis=0)
+            positions[start + 1 : end, 0, :] = positions[start, 0, :] + seg
     out.positions = positions
     return out
+
+
+def _integrate_blocks(incr: np.ndarray, gt: np.ndarray, block: int) -> np.ndarray:
+    """Prefix quaternion products within blocks; block starts come from GT."""
+    import jax
+
+    frames = incr.shape[0]
+    n_blocks = -(-frames // block)
+    padded = np.tile(np.array([1.0, 0, 0, 0]), (n_blocks * block, 1))
+    padded[:frames] = incr
+    padded[::block] = gt[::block][:n_blocks]
+    blocks = padded.reshape(n_blocks, block, 4).astype(np.float32)
+    acc = jax.lax.associative_scan(quat.mul, blocks, axis=1)
+    return np.asarray(acc).reshape(-1, 4)[:frames]

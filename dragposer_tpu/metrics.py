@@ -28,17 +28,20 @@ def positional_error(
     sparse_joints: Sequence[int] = SPARSE_JOINTS,
 ) -> Tuple[float, float]:
     """Returns (MPJPE, MPEEPE) in skeleton units (meters for AMASS data)."""
+    from dragposer_tpu.ops import host_device
+
     gt_rots, _, gt_parents, gt_offsets, _ = encoding.info_from_bvh(gt_bvh)
     if downsample_gt > 1:
         gt_rots = gt_rots[::downsample_gt]
-    gt_sk = Skeleton.build(gt_parents, gt_offsets)
-    gt_pos, _ = fk.fk_local(gt_rots, np.zeros((gt_rots.shape[0], 3)), gt_sk)
-    gt_pos = np.asarray(gt_pos)
+    with host_device():
+        gt_sk = Skeleton.build(gt_parents, gt_offsets)
+        gt_pos, _ = fk.fk_local(gt_rots, np.zeros((gt_rots.shape[0], 3)), gt_sk)
+        gt_pos = np.asarray(gt_pos)
 
-    rots, _, parents, offsets, _ = encoding.info_from_bvh(eval_bvh)
-    sk = Skeleton.build(parents, offsets)
-    pos, _ = fk.fk_local(rots, np.zeros((rots.shape[0], 3)), sk)
-    pos = np.asarray(pos)
+        rots, _, parents, offsets, _ = encoding.info_from_bvh(eval_bvh)
+        sk = Skeleton.build(parents, offsets)
+        pos, _ = fk.fk_local(rots, np.zeros((rots.shape[0], 3)), sk)
+        pos = np.asarray(pos)
 
     n = min(pos.shape[0], gt_pos.shape[0])
     err = np.linalg.norm(pos[:n] - gt_pos[:n], axis=-1)

@@ -1,0 +1,218 @@
+"""Temporal latent predictor: seq2seq transformer (pure JAX functions).
+
+Architecture parity with the reference (``python/src/temporal_transformer.py``):
+d_model 48 (= 2×latent_dim), 4 heads, 3+3 post-LN encoder/decoder layers,
+ReLU feed-forward 2048, dropout 0.1, sinusoidal positional encoding, causal
+target mask.  Encoder tokens are latent(24) ⊕ accumulated displacement(3) ⊕
+heights(6); decoder tokens are latents only.
+
+The layer math mirrors ``torch.nn.Transformer`` (post-norm: residual then
+LayerNorm; final LayerNorm on both stacks) so that reference ``temporal.pt``
+checkpoints can be imported weight-for-weight.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dragposer_tpu.models.skeleton_nn import linear
+
+_PRECISION = "highest"
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding (reference ``positional_encoding.py``)
+# ---------------------------------------------------------------------------
+
+def positional_encoding(max_len: int, dim: int) -> jnp.ndarray:
+    pos = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float32) * (-math.log(10000.0) / dim))
+    pe = np.zeros((max_len, dim), dtype=np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(pe)
+
+
+def causal_mask(size: int) -> jnp.ndarray:
+    """(S, S) additive mask: 0 on/below the diagonal, -inf above."""
+    return jnp.where(
+        jnp.tril(jnp.ones((size, size), dtype=bool)), 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _xavier(key, shape):
+    fan_in, fan_out = shape[1], shape[0]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def _init_attention(key, d):
+    k1, k2 = jax.random.split(key)
+    return {
+        "in_w": _xavier(k1, (3 * d, d)),
+        "in_b": jnp.zeros((3 * d,)),
+        "out_w": _xavier(k2, (d, d)),
+        "out_b": jnp.zeros((d,)),
+    }
+
+
+def _init_linear_kaiming(key, in_dim, out_dim):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    return {
+        "w": _xavier(kw, (out_dim, in_dim)),
+        "b": jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound),
+    }
+
+
+def _init_ln(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+def init_params(key, param) -> Dict:
+    d = param["features_transformer"]
+    ff = param["dim_feedforward"]
+    latent = param["latent_dim"]
+    extra = 3 + len(param["height_indices"])
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+
+    def enc_layer():
+        return {
+            "self_attn": _init_attention(next(ki), d),
+            "ff1": _init_linear_kaiming(next(ki), d, ff),
+            "ff2": _init_linear_kaiming(next(ki), ff, d),
+            "ln1": _init_ln(d),
+            "ln2": _init_ln(d),
+        }
+
+    def dec_layer():
+        return {
+            "self_attn": _init_attention(next(ki), d),
+            "cross_attn": _init_attention(next(ki), d),
+            "ff1": _init_linear_kaiming(next(ki), d, ff),
+            "ff2": _init_linear_kaiming(next(ki), ff, d),
+            "ln1": _init_ln(d),
+            "ln2": _init_ln(d),
+            "ln3": _init_ln(d),
+        }
+
+    return {
+        "in_proj_enc": _init_linear_kaiming(next(ki), latent + extra, d),
+        "in_proj_dec": _init_linear_kaiming(next(ki), latent, d),
+        "out_proj": _init_linear_kaiming(next(ki), d, latent),
+        "enc_layers": [enc_layer() for _ in range(param["n_encoder_layers"])],
+        "dec_layers": [dec_layer() for _ in range(param["n_decoder_layers"])],
+        "enc_norm": _init_ln(d),
+        "dec_norm": _init_ln(d),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, p, eps: float = 1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * p["g"] + p["b"]
+
+
+def _dropout(x, rate, key, train):
+    if not train or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _attention(p, q_in, kv_in, n_heads: int, mask=None):
+    """Multi-head attention, torch packed-projection layout.
+
+    q_in: (B, Sq, D); kv_in: (B, Sk, D); mask: additive (Sq, Sk) or None.
+    """
+    d = q_in.shape[-1]
+    dh = d // n_heads
+    wq, wk, wv = jnp.split(p["in_w"], 3, axis=0)
+    bq, bk, bv = jnp.split(p["in_b"], 3, axis=0)
+
+    def proj(x, w, b):
+        y = jnp.einsum("bsd,od->bso", x, w, precision=_PRECISION) + b
+        b_, s, _ = y.shape
+        return y.reshape(b_, s, n_heads, dh).transpose(0, 2, 1, 3)  # (B,H,S,dh)
+
+    q = proj(q_in, wq, bq)
+    k = proj(kv_in, wk, bk)
+    v = proj(kv_in, wv, bv)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_PRECISION) / math.sqrt(dh)
+    if mask is not None:
+        scores = scores + mask
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=_PRECISION)
+    out = out.transpose(0, 2, 1, 3).reshape(q_in.shape)
+    return jnp.einsum("bsd,od->bso", out, p["out_w"], precision=_PRECISION) + p["out_b"]
+
+
+def _ff(p, x, rate, key, train):
+    h = jax.nn.relu(linear(x, p["ff1"]))
+    h = _dropout(h, rate, key, train)
+    return linear(h, p["ff2"])
+
+
+def forward(params, param, latent, latent_target, tgt_mask=None, *,
+            train: bool = False, rng: Optional[jax.Array] = None):
+    """Seq2seq pass.
+
+    latent:        (B, S_past, latent_dim + 3 + heights)  encoder tokens
+    latent_target: (B, S_fut, latent_dim)                 decoder tokens
+    Returns (B, S_fut, latent_dim).
+    """
+    d = param["features_transformer"]
+    h = param["n_heads"]
+    rate = param["dropout"]
+    max_len = len(param["past_frames"]) + len(param["future_frames"])
+    pe = positional_encoding(max_len, d)
+
+    if train:
+        rngs = iter(jax.random.split(rng, 64))
+        nk = lambda: next(rngs)  # noqa: E731
+    else:
+        nk = lambda: None  # noqa: E731
+
+    src = _dropout(latent, rate, nk(), train)            # in_dropout (enc only)
+    src = linear(src, params["in_proj_enc"])
+    tgt = linear(latent_target, params["in_proj_dec"])
+    src = _dropout(src + pe[: src.shape[1]], rate, nk(), train)   # PE dropout
+    tgt = _dropout(tgt + pe[: tgt.shape[1]], rate, nk(), train)
+
+    # encoder (post-LN)
+    for lp in params["enc_layers"]:
+        a = _attention(lp["self_attn"], src, src, h)
+        src = _layer_norm(src + _dropout(a, rate, nk(), train), lp["ln1"])
+        f = _ff(lp, src, rate, nk(), train)
+        src = _layer_norm(src + _dropout(f, rate, nk(), train), lp["ln2"])
+    memory = _layer_norm(src, params["enc_norm"])
+
+    # decoder (post-LN)
+    for lp in params["dec_layers"]:
+        a = _attention(lp["self_attn"], tgt, tgt, h, mask=tgt_mask)
+        tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln1"])
+        a = _attention(lp["cross_attn"], tgt, memory, h)
+        tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln2"])
+        f = _ff(lp, tgt, rate, nk(), train)
+        tgt = _layer_norm(tgt + _dropout(f, rate, nk(), train), lp["ln3"])
+    out = _layer_norm(tgt, params["dec_norm"])
+
+    return linear(out, params["out_proj"])
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

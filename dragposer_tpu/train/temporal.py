@@ -1,0 +1,247 @@
+"""Temporal-predictor training (reference ``python/src/train_temporal.py`` parity).
+
+Teacher-forced seq2seq over frozen-VAE latents: the encoder sees 14 past
+latents ⊕ raw accumulated displacements ⊕ raw heights; the decoder sees the
+last past latent followed by the future latents shifted right, under a causal
+mask.  Latent normalization stats come from one encoding pass over the train
+set (sampled latents — intentional "data augmentation").  Limb-occlusion
+augmentation replaces a random limb's (normalized) past dual quats with
+denormalized-scale Gaussian noise at p=0.1 per limb per batch — a reference
+quirk kept verbatim (``train_temporal.py:192-217``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dragposer_tpu import config as cfg
+from dragposer_tpu.data import datasets
+from dragposer_tpu.models import checkpoint, temporal as tmodel, vae
+
+LIMBS = tuple(tuple(v) for v in cfg.LIMB_INDICES.values())
+
+
+def _encode_windows(params, statics, key, dqs):
+    """dqs: (N, S, C) normalized windows → sampled latents (N, S, L)."""
+    n, s, c = dqs.shape
+    x = dqs.reshape(n * s, c)[:, :, None]
+    mu, logvar = vae.encode(params["encoder"], statics, x)
+    z = vae.reparameterize(key, mu, logvar)
+    return z.reshape(n, s, -1)
+
+
+def compute_latent_stats(vae_params, statics, key, data: datasets.TemporalTrainData,
+                         batch: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean/std of sampled latents over all past+future windows
+    (``train_temporal.py:142-173``)."""
+    encode = jax.jit(lambda k, d: _encode_windows(vae_params, statics, k, d))
+    buf = []
+    both = np.concatenate((data.dqs_past, data.dqs_future), axis=1)
+    for i in range(0, both.shape[0], batch):
+        key, k = jax.random.split(key)
+        buf.append(np.asarray(encode(k, jnp.asarray(both[i : i + batch]))))
+    lat = np.concatenate(buf, axis=0).reshape(-1, buf[0].shape[-1])
+    return lat.mean(axis=0), lat.std(axis=0, ddof=1)
+
+
+def _limb_noise(key, dqs_past, mean_dqs, std_dqs, prob):
+    """Randomly replace whole limbs in all-but-last past frames with noise."""
+    b, p, c = dqs_past.shape
+    dq = dqs_past.reshape(b, p, -1, 8)
+    keys = jax.random.split(key, 2 * len(LIMBS))
+    for i, limb in enumerate(LIMBS):
+        idx = jnp.asarray(limb)
+        apply = jax.random.uniform(keys[2 * i]) < prob
+        noise = (
+            jax.random.normal(keys[2 * i + 1], (b, p - 1, len(limb), 8))
+            * std_dqs.reshape(-1, 8)[idx]
+            + mean_dqs.reshape(-1, 8)[idx]
+        )
+        replaced = dq.at[:, :-1, idx, :].set(noise)
+        dq = jnp.where(apply, replaced, dq)
+    return dq.reshape(b, p, c)
+
+
+def _teacher_forced_loss(tparams, param, latents, latents_future, disp_acc,
+                         heights, means_latent, stds_latent, *, train, rng):
+    lat = (latents - means_latent) / stds_latent
+    lat_t = (latents_future - means_latent) / stds_latent
+    enc_tokens = jnp.concatenate((lat, disp_acc, heights), axis=-1)
+    enc_in = enc_tokens[:, :-1, :]
+    dec_in = jnp.concatenate((lat[:, -1:, :], lat_t[:, :-1, :]), axis=1)
+    mask = tmodel.causal_mask(dec_in.shape[1])
+    out = tmodel.forward(tparams, param, enc_in, dec_in, tgt_mask=mask,
+                         train=train, rng=rng)
+    return jnp.mean((out - lat_t) ** 2)
+
+
+def make_train_step(vae_params, statics, param, optimizer):
+    prob = param["limbs_random_prob"]
+
+    @jax.jit
+    def step(tparams, opt_state, key, dqs_past, dqs_future, disp_acc, heights,
+             mean_dqs, std_dqs, means_latent, stds_latent):
+        k_aug, k_enc1, k_enc2, k_drop = jax.random.split(key, 4)
+        dqs_past = _limb_noise(k_aug, dqs_past, mean_dqs, std_dqs, prob)
+        latents = jax.lax.stop_gradient(
+            _encode_windows(vae_params, statics, k_enc1, dqs_past)
+        )
+        latents_future = jax.lax.stop_gradient(
+            _encode_windows(vae_params, statics, k_enc2, dqs_future)
+        )
+
+        def loss(tp):
+            return _teacher_forced_loss(
+                tp, param, latents, latents_future, disp_acc, heights,
+                means_latent, stds_latent, train=True, rng=k_drop,
+            )
+
+        value, grads = jax.value_and_grad(loss)(tparams)
+        updates, opt_state = optimizer.update(grads, opt_state, tparams)
+        tparams = optax.apply_updates(tparams, updates)
+        return tparams, opt_state, value
+
+    return step
+
+
+def make_eval_step(vae_params, statics, param):
+    @jax.jit
+    def step(tparams, key, dqs_past, dqs_future, disp_acc, heights,
+             means_latent, stds_latent):
+        k1, k2 = jax.random.split(key)
+        latents = _encode_windows(vae_params, statics, k1, dqs_past)
+        latents_future = _encode_windows(vae_params, statics, k2, dqs_future)
+        return _teacher_forced_loss(
+            tparams, param, latents, latents_future, disp_acc, heights,
+            means_latent, stds_latent, train=False, rng=None,
+        )
+
+    return step
+
+
+def evaluate(eval_step, tparams, key, data: datasets.TemporalTrainData,
+             means_latent, stds_latent, batch: int) -> float:
+    losses = []
+    n = data.dqs_past.shape[0]
+    for i in range(0, n, batch):
+        if i + batch > n and i > 0:
+            break  # keep static shapes; tail smaller than one batch is skipped
+        key, k = jax.random.split(key)
+        sl = slice(i, min(i + batch, n))
+        losses.append(float(eval_step(
+            tparams, k,
+            jnp.asarray(data.dqs_past[sl]), jnp.asarray(data.dqs_future[sl]),
+            jnp.asarray(data.disp_past_acc[sl]), jnp.asarray(data.heights[sl]),
+            means_latent, stds_latent,
+        )))
+    return float(np.mean(losses)) if losses else float("inf")
+
+
+def train(
+    data_dir: str,
+    model_dir: str,
+    param=None,
+    *,
+    epochs: int | None = None,
+    load: bool = False,
+    eval_window_step: int | None = None,
+    log=print,
+) -> Dict:
+    param = param or cfg.TEMPORAL_PARAM
+    vae_param = cfg.VAE_PARAM
+
+    from dragposer_tpu.models import loading
+
+    log(f"loading data from {data_dir} ...")
+    train_motions, skeleton, _ = datasets.load_motion_dir(
+        os.path.join(data_dir, "train"), param,
+        height_indices=param["height_indices"],
+    )
+    eval_motions, _, _ = datasets.load_motion_dir(
+        os.path.join(data_dir, "eval"), param,
+        height_indices=param["height_indices"],
+    )
+
+    vae_params, means, stds = loading.load_generator(
+        model_dir, skeleton.parents, vae_param
+    )
+    statics = vae.build_statics(skeleton.parents, vae_param)
+
+    log("building windows ...")
+    data = datasets.build_temporal_dataset(train_motions, param, means, stds)
+    # the reference evaluates on non-overlapping windows (step = window size)
+    eval_param = dict(param, window_step=eval_window_step or param["window_size"])
+    eval_data = datasets.build_temporal_dataset(eval_motions, eval_param, means, stds)
+
+    key = jax.random.PRNGKey(vae_param["seed"])
+    key, init_key, stats_key = jax.random.split(key, 3)
+    tparams = tmodel.init_params(init_key, param)
+
+    if load:
+        tparams, extra = checkpoint.load(os.path.join(model_dir, "temporal.npz"))
+        means_latent = jnp.asarray(extra["means_latent"])
+        stds_latent = jnp.asarray(extra["stds_latent"])
+    else:
+        log(f"computing latent stats over {data.dqs_past.shape[0]} windows ...")
+        ml, sl = compute_latent_stats(vae_params, statics, stats_key, data)
+        means_latent, stds_latent = jnp.asarray(ml), jnp.asarray(sl)
+    log(f"training: {data.dqs_past.shape[0]} windows, "
+        f"{tmodel.count_params(tparams)} temporal params")
+
+    optimizer = optax.adam(param["learning_rate"], b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = optimizer.init(tparams)
+    train_step = make_train_step(vae_params, statics, param, optimizer)
+    eval_step = make_eval_step(vae_params, statics, param)
+
+    mean_dqs = jnp.asarray(means["dqs"])
+    std_dqs = jnp.asarray(stds["dqs"])
+
+    n = data.dqs_past.shape[0]
+    bs = min(param["batch_size"], n)
+    best = float("inf")
+    n_epochs = epochs if epochs is not None else param["epochs"]
+    start = time.time()
+    for epoch in range(n_epochs):
+        key, shuffle_key = jax.random.split(key)
+        order = np.asarray(jax.random.permutation(shuffle_key, n))
+        epoch_loss, count = 0.0, 0
+        epoch_time = time.time()
+        for i in range(0, n, bs):
+            idx = order[i : i + bs]
+            if idx.shape[0] != bs:
+                continue  # the reference drops partial batches
+            key, k = jax.random.split(key)
+            tparams, opt_state, value = train_step(
+                tparams, opt_state, k,
+                jnp.asarray(data.dqs_past[idx]), jnp.asarray(data.dqs_future[idx]),
+                jnp.asarray(data.disp_past_acc[idx]), jnp.asarray(data.heights[idx]),
+                mean_dqs, std_dqs, means_latent, stds_latent,
+            )
+            epoch_loss += float(value)
+            count += 1
+        key, ek = jax.random.split(key)
+        eval_loss = evaluate(eval_step, tparams, ek, eval_data,
+                             means_latent, stds_latent,
+                             batch=min(bs, eval_data.dqs_past.shape[0]))
+        was_best = eval_loss < best
+        if was_best:
+            best = eval_loss
+            checkpoint.save(
+                os.path.join(model_dir, "temporal.npz"), tparams,
+                extra={"means_latent": np.asarray(means_latent),
+                       "stds_latent": np.asarray(stds_latent)},
+            )
+        log(
+            f"Epoch: {epoch} // Train Loss: {epoch_loss / max(count, 1):.4f} // "
+            f"Eval Loss: {eval_loss:.4f} // "
+            f"Time: {time.time() - epoch_time:.1f} ({time.time() - start:.1f})"
+            + ("*" if was_best else "")
+        )
+    return tparams
