@@ -18,9 +18,10 @@ Numeric parity notes (each mirrors a reference behavior):
 * the ring buffers record the latent *before* the final Adam step — the one
   that produced the last decode (``drag_pose.py:309,385``);
 * the temporal rollout feeds decoder outputs back autoregressively with *no*
-  target mask in the reference (``drag_pose.py:273``); on a fixed-size token
-  buffer a causal mask reproduces this exactly (row k attends to the k+1
-  real tokens only);
+  target mask in the reference (``drag_pose.py:273``) — every position
+  attends forward within the real tokens; on a fixed-size token buffer this
+  is a per-step *visibility* mask (all rows see columns ≤ k), NOT a causal
+  mask (verified equivalent in ``tests/test_temporal_model.py``);
 * the "upsample" of rollout predictions is a constant-hold, not a lerp
   (``drag_pose.py:282-289``): target[k] = prediction[max(ceil(k/step), 1)]
   for window > 0;
@@ -178,10 +179,16 @@ def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
     n_steps = hyper.temporal_future_window // step + 1
     token0 = (state.latent_buffer[past][-1] - model.means_latent) / model.stds_latent
     tokens0 = jnp.zeros((n_steps, latent_dim)).at[0].set(token0)
-    mask = temporal_model.causal_mask(n_steps)
 
     def body(carry, k):
         tokens, outs = carry
+        # The reference's rollout is UNMASKED over the first k+1 tokens
+        # (``drag_pose.py:273`` passes no tgt_mask), so every position may
+        # attend forward within the real tokens.  On the fixed-size buffer
+        # that is a per-step visibility mask: all rows see columns ≤ k.
+        mask = jnp.where(
+            jnp.arange(n_steps) <= k, 0.0, -jnp.inf
+        ).astype(jnp.float32)[None, :]
         pred = temporal_model.forward(
             model.temporal, tparam, enc_in, tokens[None], tgt_mask=mask
         )[0]                                                    # (n_steps, L)

@@ -1,0 +1,213 @@
+"""Embedded realtime API — the reference ``run_drag.RunDrag`` surface.
+
+Consumed by the native C-ABI layer and the socket server.  Method-for-method
+parity with ``python/src/run_drag.py`` (same names, shapes and conventions):
+
+* ``set_reference_skeleton(bvh_path) -> n_joints``
+* ``load_models(model_dir)``
+* ``set_mask_and_weights(mask (J,), weights (J,2)) -> n_end_effectors``
+* ``init_drag_pose(initial_global_pos (1,3), initial_global_rot (1,4))``
+* ``set_optim_params(stop_eps_pos, stop_eps_rot, max_iter, lr)``
+* ``set_lambdas(lambda_rot, lambda_temporal, temporal_future_window)``
+* ``set_global_pos(global_pos (1,3))``
+* ``drag_pose(target_ee_pos (E,3), target_ee_rot (E,4), out_pose (J,4),
+  out_global_pos (1,3))`` — writes parent-local wxyz quaternions.
+
+Unlike the reference (which interprets PyTorch per frame), ``drag_pose`` is
+one dispatch of a pre-compiled device computation.  The dense end-effector
+mask means runtime mask edits never recompile; only optimizer/lambda changes
+rebuild the compiled step (lazily).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from dragposer_tpu import config as cfg
+from dragposer_tpu.data import encoding
+from dragposer_tpu.io.bvh import BVH
+from dragposer_tpu.models import loading, vae
+from dragposer_tpu.ops import fk, host_device, quat
+from dragposer_tpu.ops.topology import Skeleton
+
+
+class RealtimeSession:
+    def __init__(self, log_path: Optional[str] = "log_python.txt"):
+        self._log_path = log_path
+        self.skeleton: Optional[Skeleton] = None
+        self._engine = None
+        self._engine_dirty = True
+        self._state = None
+        # realtime defaults (reference DragPoserDLL/main.cpp:28-29)
+        self.stop_eps_pos = 1e-4
+        self.stop_eps_rot = 0.01
+        self.max_iter = 10
+        self.learning_rate = 0.01
+        self.lambda_rot = 1.0
+        self.lambda_temporal = 0.02
+        self.temporal_future_window = 60
+
+    # ------------------------------------------------------------------
+    def log(self, msg: str) -> None:
+        if self._log_path:
+            with open(self._log_path, "a") as f:
+                f.write(f"[{time.strftime('%H:%M:%S')}] {msg}\n")
+
+    # ------------------------------------------------------------------
+    def set_reference_skeleton(self, bvh_path: str) -> int:
+        bvh = BVH().load(bvh_path)
+        _, _, parents, offsets, _ = encoding.info_from_bvh(bvh)
+        self.skeleton = Skeleton.build(parents, offsets, bvh.names)
+        self._engine_dirty = True
+        self.log(f"skeleton: {self.skeleton.n_joints} joints from {bvh_path}")
+        return self.skeleton.n_joints
+
+    def load_models(self, model_dir: str) -> None:
+        assert self.skeleton is not None, "call set_reference_skeleton first"
+        self._params, self._means, self._stds = loading.load_generator(
+            model_dir, self.skeleton.parents, cfg.VAE_PARAM
+        )
+        temporal = loading.load_temporal(model_dir, cfg.TEMPORAL_PARAM)
+        if temporal is None:
+            self._temporal = None
+            self._means_latent = np.zeros(cfg.VAE_PARAM["latent_dim"], np.float32)
+            self._stds_latent = np.ones(cfg.VAE_PARAM["latent_dim"], np.float32)
+        else:
+            self._temporal, self._means_latent, self._stds_latent = temporal
+        self._statics = vae.build_statics(self.skeleton.parents, cfg.VAE_PARAM)
+        self._engine_dirty = True
+        self.log(f"models loaded from {model_dir} "
+                 f"(temporal={'yes' if self._temporal is not None else 'no'})")
+
+    def set_mask_and_weights(self, mask: np.ndarray, weights: np.ndarray) -> int:
+        j = self.skeleton.n_joints
+        mask = np.asarray(mask, np.float32).reshape(j)
+        weights = np.asarray(weights, np.float32).reshape(j, 2)
+        self._mask = mask
+        self._weights = weights
+        self._mask_indices = np.nonzero(mask)[0]
+        # mask/weights are data — live update without recompiling
+        if self._engine is not None and not self._engine_dirty:
+            self._engine.model = self._engine.model._replace(
+                mask=mask, weights=weights
+            )
+        return int(len(self._mask_indices))
+
+    def set_optim_params(self, stop_eps_pos: float, stop_eps_rot: float,
+                         max_iter: int, lr: float) -> None:
+        self.stop_eps_pos = float(stop_eps_pos)
+        self.stop_eps_rot = float(stop_eps_rot)
+        self.max_iter = int(max_iter)
+        self.learning_rate = float(lr)
+        self._engine_dirty = True
+
+    def set_lambdas(self, lambda_rot: float, lambda_temporal: float,
+                    temporal_future_window: int) -> None:
+        self.lambda_rot = float(lambda_rot)
+        self.lambda_temporal = float(lambda_temporal)
+        self.temporal_future_window = int(temporal_future_window)
+        self._engine_dirty = True
+
+    # ------------------------------------------------------------------
+    def _build_engine(self):
+        from dragposer_tpu.drag.engine import DragEngine, DragHyper, DragModel
+
+        model = DragModel(
+            decoder=self._params["decoder"],
+            encoder=self._params["encoder"],
+            temporal=self._temporal,
+            mean_dqs=np.asarray(self._means["dqs"], np.float32),
+            std_dqs=np.asarray(self._stds["dqs"], np.float32),
+            mean_disp=np.asarray(self._means["displacement"], np.float32),
+            std_disp=np.asarray(self._stds["displacement"], np.float32),
+            means_latent=np.asarray(self._means_latent, np.float32),
+            stds_latent=np.asarray(self._stds_latent, np.float32),
+            mask=self._mask,
+            weights=self._weights,
+        )
+        hyper = DragHyper(
+            max_iter=self.max_iter,
+            stop_eps_pos=self.stop_eps_pos,
+            stop_eps_rot=self.stop_eps_rot,
+            learning_rate=self.learning_rate,
+            lambda_rot=self.lambda_rot,
+            lambda_temporal=self.lambda_temporal,
+            temporal_future_window=self.temporal_future_window,
+            sample_step=cfg.TEMPORAL_PARAM["sample_step"],
+            past_frames=tuple(cfg.TEMPORAL_PARAM["past_frames"]),
+            height_indices=tuple(cfg.HEIGHT_INDICES),
+            use_temporal=self._temporal is not None,
+            joint_adjustment=None,  # adjustment is done client-side (Unity)
+        )
+        self._engine = DragEngine(model, self._statics, self.skeleton, hyper,
+                                  cfg.TEMPORAL_PARAM)
+        self._engine_dirty = False
+
+    def _ensure_engine(self):
+        if self._engine is None or self._engine_dirty:
+            old_state = self._state
+            self._build_engine()
+            if old_state is not None:
+                # resize the rollout buffer if the future window changed
+                # (reference reallocates it to zeros, drag_pose.py:238-243)
+                w = self.temporal_future_window + 1
+                tb = np.asarray(old_state.target_buffer)
+                if tb.shape[0] != w:
+                    tb = np.zeros((w, tb.shape[1]), np.float32)
+                self._state = old_state._replace(
+                    target_buffer=tb,
+                    current_index=np.zeros((), np.int32),
+                )
+
+    # ------------------------------------------------------------------
+    def init_drag_pose(self, initial_global_pos: np.ndarray,
+                       initial_global_rot: np.ndarray) -> None:
+        """Zero initial pose + heights, as the reference (run_drag.py:77-96)."""
+        import jax
+
+        self._ensure_engine()
+        j = self.skeleton.n_joints
+        initial_pose = np.zeros((j * 8, cfg.VAE_PARAM["window_size"]), np.float32)
+        self._state = self._engine.init_state(
+            jax.random.PRNGKey(cfg.VAE_PARAM["seed"]),
+            initial_pose,
+            np.asarray(initial_global_pos, np.float32).reshape(3),
+            np.asarray(initial_global_rot, np.float32).reshape(4),
+            np.zeros(len(cfg.HEIGHT_INDICES), np.float32),
+        )
+
+    def set_global_pos(self, global_pos: np.ndarray) -> None:
+        self._state = self._state._replace(
+            global_pos=np.asarray(global_pos, np.float32).reshape(3)
+        )
+
+    def drag_pose(self, target_ee_pos: np.ndarray, target_ee_rot: np.ndarray,
+                  out_pose: np.ndarray, out_global_pos: np.ndarray) -> None:
+        """One realtime frame.  target_ee_rot are wxyz quaternions (E, 4)."""
+        self._ensure_engine()
+        j = self.skeleton.n_joints
+        e = len(self._mask_indices)
+        tpos = np.zeros((j, 3), np.float32)
+        trot = np.tile(np.eye(3, dtype=np.float32), (j, 1, 1))
+        tpos[self._mask_indices] = np.asarray(target_ee_pos, np.float32).reshape(e, 3)
+        with host_device():
+            trot[self._mask_indices] = np.asarray(
+                quat.to_matrix(np.asarray(target_ee_rot, np.float32).reshape(e, 4))
+            )
+
+        self._state, (pose, global_pos, _iters) = self._engine.step(
+            self._state, tpos, trot
+        )
+
+        pose = np.asarray(pose)
+        mean_q = self._means["dqs"].reshape(-1, 8)[:, :4].reshape(-1)
+        std_q = self._stds["dqs"].reshape(-1, 8)[:, :4].reshape(-1)
+        rs = (pose * std_q + mean_q).reshape(j, 4)
+        with host_device():
+            local = np.asarray(fk.from_root_quat(rs, self.skeleton))
+        np.copyto(out_pose, local.reshape(j, 4))
+        out_global_pos[0, :] = np.asarray(global_pos)

@@ -1,0 +1,151 @@
+"""Temporal transformer: torch nn.Transformer weight-level parity + causal
+masking properties the drag rollout depends on."""
+
+import numpy as np
+import pytest
+
+from dragposer_tpu.config import TEMPORAL_PARAM
+from dragposer_tpu.models import temporal as tmodel
+
+PARAM = dict(TEMPORAL_PARAM)
+
+
+@pytest.fixture(scope="module")
+def params():
+    import jax
+
+    return tmodel.init_params(jax.random.PRNGKey(3), PARAM)
+
+
+def test_param_count(params):
+    # reference prints "# parameters temporal: 1282536"
+    # (d48, 4 heads, 3+3 layers, ff 2048, in 33/24, out 24)
+    assert tmodel.count_params(params) == 1282536
+
+
+def test_causal_mask_blocks_future(params):
+    """Output at position k must not depend on decoder tokens > k — the
+    fixed-size autoregressive rollout buffer relies on this exactly."""
+    rng = np.random.default_rng(0)
+    enc = rng.normal(size=(1, 14, 33)).astype(np.float32)
+    dec = rng.normal(size=(1, 5, 24)).astype(np.float32)
+    mask = tmodel.causal_mask(5)
+    out1 = np.asarray(tmodel.forward(params, PARAM, enc, dec, tgt_mask=mask))
+    dec2 = dec.copy()
+    dec2[:, 3:, :] = 99.0  # poison the future
+    out2 = np.asarray(tmodel.forward(params, PARAM, enc, dec2, tgt_mask=mask))
+    np.testing.assert_allclose(out1[:, :3], out2[:, :3], atol=1e-5)
+    assert np.abs(out1[:, 3:] - out2[:, 3:]).max() > 1e-3
+
+
+def test_padded_buffer_equals_growing_input(params):
+    """Row k of a fixed buffer under a visibility mask (all rows attend
+    columns ≤ k) == running the transformer on exactly the first k+1 tokens
+    unmasked (the reference's rollout passes no mask, drag_pose.py:273).
+
+    A plain causal mask is NOT equivalent: unmasked, earlier positions
+    attend forward within the window and deeper layers propagate that to
+    position k (this test originally caught exactly that bug)."""
+    rng = np.random.default_rng(1)
+    enc = rng.normal(size=(1, 14, 33)).astype(np.float32)
+    tokens = rng.normal(size=(1, 5, 24)).astype(np.float32)
+    for k in range(5):
+        mask = np.where(np.arange(5) <= k, 0.0, -np.inf).astype(np.float32)[None, :]
+        full = np.asarray(tmodel.forward(params, PARAM, enc, tokens, tgt_mask=mask))
+        grown = np.asarray(
+            tmodel.forward(params, PARAM, enc, tokens[:, : k + 1], tgt_mask=None)
+        )
+        np.testing.assert_allclose(full[0, k], grown[0, k], atol=2e-5)
+
+
+def test_torch_transformer_parity(params):
+    """Copy our weights into torch nn.Transformer; outputs must match.
+
+    This locks the layer semantics (post-LN, packed QKV, final stack norms)
+    that reference ``temporal.pt`` checkpoints assume on import.
+    """
+    import torch
+
+    d, h = PARAM["features_transformer"], PARAM["n_heads"]
+    t = torch.nn.Transformer(
+        d_model=d, nhead=h,
+        num_encoder_layers=PARAM["n_encoder_layers"],
+        num_decoder_layers=PARAM["n_decoder_layers"],
+        dim_feedforward=PARAM["dim_feedforward"],
+        dropout=0.0,
+    )
+    t.eval()
+
+    def tt(x):
+        return torch.from_numpy(np.asarray(x).copy())
+
+    with torch.no_grad():
+        for i, lp in enumerate(params["enc_layers"]):
+            layer = t.encoder.layers[i]
+            layer.self_attn.in_proj_weight.copy_(tt(lp["self_attn"]["in_w"]))
+            layer.self_attn.in_proj_bias.copy_(tt(lp["self_attn"]["in_b"]))
+            layer.self_attn.out_proj.weight.copy_(tt(lp["self_attn"]["out_w"]))
+            layer.self_attn.out_proj.bias.copy_(tt(lp["self_attn"]["out_b"]))
+            layer.linear1.weight.copy_(tt(lp["ff1"]["w"]))
+            layer.linear1.bias.copy_(tt(lp["ff1"]["b"]))
+            layer.linear2.weight.copy_(tt(lp["ff2"]["w"]))
+            layer.linear2.bias.copy_(tt(lp["ff2"]["b"]))
+            layer.norm1.weight.copy_(tt(lp["ln1"]["g"]))
+            layer.norm1.bias.copy_(tt(lp["ln1"]["b"]))
+            layer.norm2.weight.copy_(tt(lp["ln2"]["g"]))
+            layer.norm2.bias.copy_(tt(lp["ln2"]["b"]))
+        for i, lp in enumerate(params["dec_layers"]):
+            layer = t.decoder.layers[i]
+            layer.self_attn.in_proj_weight.copy_(tt(lp["self_attn"]["in_w"]))
+            layer.self_attn.in_proj_bias.copy_(tt(lp["self_attn"]["in_b"]))
+            layer.self_attn.out_proj.weight.copy_(tt(lp["self_attn"]["out_w"]))
+            layer.self_attn.out_proj.bias.copy_(tt(lp["self_attn"]["out_b"]))
+            layer.multihead_attn.in_proj_weight.copy_(tt(lp["cross_attn"]["in_w"]))
+            layer.multihead_attn.in_proj_bias.copy_(tt(lp["cross_attn"]["in_b"]))
+            layer.multihead_attn.out_proj.weight.copy_(tt(lp["cross_attn"]["out_w"]))
+            layer.multihead_attn.out_proj.bias.copy_(tt(lp["cross_attn"]["out_b"]))
+            layer.linear1.weight.copy_(tt(lp["ff1"]["w"]))
+            layer.linear1.bias.copy_(tt(lp["ff1"]["b"]))
+            layer.linear2.weight.copy_(tt(lp["ff2"]["w"]))
+            layer.linear2.bias.copy_(tt(lp["ff2"]["b"]))
+            layer.norm1.weight.copy_(tt(lp["ln1"]["g"]))
+            layer.norm1.bias.copy_(tt(lp["ln1"]["b"]))
+            layer.norm2.weight.copy_(tt(lp["ln2"]["g"]))
+            layer.norm2.bias.copy_(tt(lp["ln2"]["b"]))
+            layer.norm3.weight.copy_(tt(lp["ln3"]["g"]))
+            layer.norm3.bias.copy_(tt(lp["ln3"]["b"]))
+        t.encoder.norm.weight.copy_(tt(params["enc_norm"]["g"]))
+        t.encoder.norm.bias.copy_(tt(params["enc_norm"]["b"]))
+        t.decoder.norm.weight.copy_(tt(params["dec_norm"]["g"]))
+        t.decoder.norm.bias.copy_(tt(params["dec_norm"]["b"]))
+
+    rng = np.random.default_rng(2)
+    src = rng.normal(size=(1, 7, d)).astype(np.float32)   # post-projection
+    tgt = rng.normal(size=(1, 4, d)).astype(np.float32)
+    mask_np = np.asarray(tmodel.causal_mask(4))
+
+    with torch.no_grad():
+        # torch default layout: (seq, batch, features)
+        want = t(
+            tt(src).permute(1, 0, 2), tt(tgt).permute(1, 0, 2),
+            tgt_mask=tt(mask_np),
+        ).permute(1, 0, 2).numpy()
+
+    # drive just the transformer core: bypass our projections/PE by feeding
+    # pre-projected features through identity in/out projections
+    ident_params = dict(params)
+    eye = np.eye(d, dtype=np.float32)
+    ident_params["in_proj_enc"] = {"w": eye[:, :d], "b": np.zeros(d, np.float32)}
+    ident_params["in_proj_dec"] = {"w": eye, "b": np.zeros(d, np.float32)}
+    ident_params["out_proj"] = {"w": eye, "b": np.zeros(d, np.float32)}
+    param_nope = dict(PARAM, dropout=0.0)
+
+    # cancel the positional encoding by pre-subtracting it
+    pe = np.asarray(tmodel.positional_encoding(30, d))
+    src_in = src - pe[:7][None]
+    tgt_in = tgt - pe[:4][None]
+    got = np.asarray(
+        tmodel.forward(ident_params, param_nope, src_in, tgt_in,
+                       tgt_mask=tmodel.causal_mask(4))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
