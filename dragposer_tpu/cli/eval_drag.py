@@ -156,6 +156,83 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
     return mpjpe, mpeepe, elapsed, n_frames
 
 
+def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
+                     *, max_frames=None, save_dir: str = "data",
+                     seed: int = cfg.VAE_PARAM["seed"]):
+    """Reconstruct many sequences concurrently in one vmapped device program.
+
+    Sequences are padded to the longest by repeating their last frame; the
+    padded tail is discarded before export.  This is the TPU-native
+    replacement for the reference's serial directory loop
+    (``eval_drag.py:285-291``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dragposer_tpu.drag import engine as eng
+
+    encoded, norms, bvhs = [], [], []
+    for path in files:
+        bvh = BVH().load(path)
+        rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+        motion = encoding.encode_motion(
+            offsets, pos[:, 0, :], rots, skeleton,
+            downsample=cfg.VAE_PARAM["downsample"],
+            height_indices=cfg.HEIGHT_INDICES,
+        )
+        encoded.append(motion)
+        norms.append(encoding.normalize(motion, means, stds))
+        bvhs.append(bvh)
+
+    lengths = [n.dqs.shape[0] if max_frames is None
+               else min(max_frames, n.dqs.shape[0]) for n in norms]
+    fmax = max(lengths)
+
+    def pad(x, f):
+        reps = np.repeat(x[f - 1 : f], fmax - f, axis=0)
+        return np.concatenate((x[:f], reps), axis=0)
+
+    dqs = np.stack([pad(n.dqs, f) for n, f in zip(norms, lengths)])
+    gp = np.stack([pad(n.global_pos, f) for n, f in zip(norms, lengths)])
+    gr = np.stack([pad(n.global_rot, f) for n, f in zip(norms, lengths)])
+    h0 = np.stack([m.heights[0] for m in encoded])
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(files))
+    states = jax.vmap(
+        lambda k, d, g, r, h: eng.init_state(
+            engine.model, engine.statics, engine.hyper, k,
+            d[0][:, None], g[0], r[0], h,
+        )
+    )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), jnp.asarray(h0))
+
+    start = time.time()
+    _, (poses, global_pos, iters) = engine.run_batch(states, dqs, gp, gr)
+    poses = np.asarray(poses)
+    global_pos = np.asarray(global_pos)
+    elapsed = time.time() - start
+
+    os.makedirs(save_dir, exist_ok=True)
+    results = []
+    for i, (path, f) in enumerate(zip(files, lengths)):
+        filename = os.path.basename(path)
+        out_bvh = export.result_to_bvh(
+            poses[i, :f], means, stds, bvhs[i], skeleton,
+            global_pos=global_pos[i, :f], are_root_rot_incr=False,
+        )
+        eval_path = os.path.join(save_dir, "eval_" + filename)
+        out_bvh.save(eval_path)
+        mpjpe, mpeepe = metrics.positional_error(
+            bvhs[i], BVH().load(eval_path), downsample_gt=1
+        )
+        print(f"{filename}: Evaluate Loss: {mpjpe + mpeepe:.6f} // "
+              f"MPJPE: {mpjpe:.6f} // MPEEPE: {mpeepe:.6f}")
+        results.append((mpjpe, mpeepe))
+    total = sum(lengths)
+    print(f"Batched: {len(files)} sequences, {total} frames in "
+          f"{elapsed:.2f}s ({total / elapsed:.0f} frames/s)")
+    return results
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Evaluate DragPoser-TPU")
     parser.add_argument("model_path", type=str, help="model folder "
@@ -170,6 +247,11 @@ def main(argv=None):
                         help="disable the temporal predictor (lambda_t = 0)")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--save-dir", type=str, default="data")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the run into DIR")
+    parser.add_argument("--batch", action="store_true",
+                        help="reconstruct all files of a directory "
+                             "concurrently in one vmapped device program")
     args = parser.parse_args(argv)
 
     tracker = resolve_config(args.config)
@@ -190,11 +272,25 @@ def main(argv=None):
         args.model_path, parents, tracker,
         use_temporal=not args.no_temporal, skeleton=skeleton,
     )
-    for path in files:
-        print(f"Evaluate {path} ------------------------")
-        evaluate_file(engine, means, stds, skeleton, path,
-                      max_frames=args.max_frames, save_dir=args.save_dir,
-                      verbose=args.verbose)
+    import contextlib
+
+    import jax
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        if args.batch and len(files) > 1:
+            evaluate_batched(engine, means, stds, skeleton, files,
+                             max_frames=args.max_frames,
+                             save_dir=args.save_dir)
+        else:
+            for path in files:
+                print(f"Evaluate {path} ------------------------")
+                evaluate_file(engine, means, stds, skeleton, path,
+                              max_frames=args.max_frames,
+                              save_dir=args.save_dir, verbose=args.verbose)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
 
 
 if __name__ == "__main__":

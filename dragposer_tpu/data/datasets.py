@@ -181,6 +181,53 @@ def try_load_cache(path: str) -> Optional[Dict[str, np.ndarray]]:
 
 
 def save_cache(path: str, arrays: Dict[str, np.ndarray]) -> None:
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, path)
+    try:
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    except OSError as e:  # read-only data dirs: skip caching
+        print(f"preprocessing cache not written ({e})")
+
+
+def load_or_build_vae_dataset(motions, param, data_dir: str,
+                              means=None, stds=None) -> VAETrainData:
+    """Windowed-dataset cache, as the reference's train_data.pt
+    (``motion_data.py:178-199``); stats are recomputed when not forced."""
+    path = cache_path(data_dir, temporal=False)
+    cached = try_load_cache(path) if means is None else None
+    if cached is not None:
+        return VAETrainData(
+            dqs=cached["dqs"], displacement=cached["displacement"],
+            offsets=cached["offsets"],
+            means={"dqs": cached["means_dqs"],
+                   "displacement": cached["means_displacement"]},
+            stds={"dqs": cached["stds_dqs"],
+                  "displacement": cached["stds_displacement"]},
+        )
+    data = build_vae_dataset(motions, param, means, stds)
+    if means is None:
+        save_cache(path, {
+            "dqs": data.dqs, "displacement": data.displacement,
+            "offsets": data.offsets,
+            "means_dqs": data.means["dqs"],
+            "means_displacement": data.means["displacement"],
+            "stds_dqs": data.stds["dqs"],
+            "stds_displacement": data.stds["displacement"],
+        })
+    return data
+
+
+def load_or_build_temporal_dataset(motions, param, means, stds,
+                                   data_dir: str) -> TemporalTrainData:
+    path = cache_path(data_dir, temporal=True)
+    cached = try_load_cache(path)
+    if cached is not None:
+        return TemporalTrainData(**cached)
+    data = build_temporal_dataset(motions, param, means, stds)
+    save_cache(path, {
+        "dqs_past": data.dqs_past, "dqs_future": data.dqs_future,
+        "disp_past": data.disp_past, "disp_future": data.disp_future,
+        "disp_past_acc": data.disp_past_acc, "heights": data.heights,
+        "offsets": data.offsets,
+    })
+    return data

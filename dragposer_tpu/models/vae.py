@@ -218,6 +218,19 @@ def forward(params, statics: VAEStatics, key, x, mean_dqs, std_dqs):
     return motion, displacement, mu, logvar, z
 
 
+def sample(params, statics: VAEStatics, key, n_samples: int, mean_dqs,
+           std_dqs, mean=None, base_std: float = 0.3):
+    """Draw poses from the latent prior N(mean, base_std²) and decode
+    (reference ``generator_architecture.py:73-93``)."""
+    latent_dim = statics.latent_dim
+    if mean is None:
+        mu = jnp.zeros((n_samples, latent_dim))
+    else:
+        mu = jnp.tile(jnp.asarray(mean).reshape(1, latent_dim), (n_samples, 1))
+    z = mu + jax.random.normal(key, (n_samples, latent_dim)) * base_std
+    return decode(params["decoder"], statics, z, mean_dqs, std_dqs)
+
+
 def count_params(params, statics: VAEStatics) -> int:
     """Total parameter count as the reference reports it — includes the
     (frozen) conv masks and pool/unpool matrices, which torch registers as

@@ -175,7 +175,9 @@ def train(
     statics = vae.build_statics(skeleton.parents, vae_param)
 
     log("building windows ...")
-    data = datasets.build_temporal_dataset(train_motions, param, means, stds)
+    data = datasets.load_or_build_temporal_dataset(
+        train_motions, param, means, stds, data_dir
+    )
     # the reference evaluates on non-overlapping windows (step = window size)
     eval_param = dict(param, window_step=eval_window_step or param["window_size"])
     eval_data = datasets.build_temporal_dataset(eval_motions, eval_param, means, stds)

@@ -204,7 +204,7 @@ def train(
     eval_motions, _, eval_bvhs = datasets.load_motion_dir(
         os.path.join(data_dir, "eval"), param, keep_bvh=True
     )
-    data = datasets.build_vae_dataset(train_motions, param)
+    data = datasets.load_or_build_vae_dataset(train_motions, param, data_dir)
     means, stds = data.means, data.stds
 
     key = jax.random.PRNGKey(param["seed"])
