@@ -81,11 +81,13 @@ def main():
 
     # warmup: the SAME program shape (a different frame count would compile
     # a different scan and leave the timed call paying the compile)
-    _, (p0, _, _) = engine.run_batch(states, dqs, gp, gr)
+    _, warm = engine.run_batch(states, dqs, gp, gr)
+    p0 = warm.pose
     jax.block_until_ready(p0)
 
     t0 = time.time()
-    _, (poses, gpos, iters) = engine.run_batch(states, dqs, gp, gr)
+    _, out = engine.run_batch(states, dqs, gp, gr)
+    poses = out.pose
     jax.block_until_ready(poses)
     elapsed = time.time() - t0
 

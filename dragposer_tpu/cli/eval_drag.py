@@ -128,13 +128,20 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
     state = engine.init_state(key, initial_pose, gp[0], gr[0], motion.heights[0])
 
     start = time.time()
-    _, (poses, global_pos, iters) = engine.run(state, dqs, gp, gr)
+    _, out = engine.run(state, dqs, gp, gr)
+    poses, global_pos, iters = out.pose, out.global_pos, out.iterations
     poses = np.asarray(poses)          # blocks until done
     global_pos = np.asarray(global_pos)
     elapsed = time.time() - start
 
     if verbose:
         it = np.asarray(iters)
+        lp = np.asarray(out.loss_pos)
+        lr = np.asarray(out.loss_rot)
+        # per-frame loss breakdown (reference --verbose, drag_pose.py:361-364)
+        for i in range(n_frames):
+            print(f"Loss sqrt(Pos): {np.sqrt(lp[i]):.5f} // "
+                  f"Loss Rot: {lr[i]:.5f} // Iter: {int(it[i])}")
         print(f"iterations/frame: mean {it.mean():.1f}, max {int(it.max())}, "
               f"min {int(it.min())}")
 
@@ -206,7 +213,8 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), jnp.asarray(h0))
 
     start = time.time()
-    _, (poses, global_pos, iters) = engine.run_batch(states, dqs, gp, gr)
+    _, out = engine.run_batch(states, dqs, gp, gr)
+    poses, global_pos, iters = out.pose, out.global_pos, out.iterations
     poses = np.asarray(poses)
     global_pos = np.asarray(global_pos)
     elapsed = time.time() - start

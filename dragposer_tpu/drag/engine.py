@@ -91,6 +91,17 @@ class DragModel(NamedTuple):
     weights: jnp.ndarray         # (J, 2) [pos, rot] loss weights
 
 
+class FrameOutput(NamedTuple):
+    """Per-frame outputs of the compiled step (observability parity with the
+    reference's --verbose per-frame prints, ``drag_pose.py:361-367``)."""
+
+    pose: jnp.ndarray        # (J*4,) normalized, root slot = world rotation
+    global_pos: jnp.ndarray  # (3,)
+    iterations: jnp.ndarray  # () int32 — Adam iterations used
+    loss_pos: jnp.ndarray    # () final weighted EE position MSE
+    loss_rot: jnp.ndarray    # () final weighted EE rotation MSE (λ applied)
+
+
 class DragState(NamedTuple):
     """Per-sequence recurrent state carried across frames."""
 
@@ -358,12 +369,8 @@ def frame_step(
     state: DragState,
     target_ee_pos: jnp.ndarray,   # (J, 3), garbage at inactive joints
     target_ee_rot: jnp.ndarray,   # (J, 3, 3)
-) -> Tuple[DragState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """One frame of drag optimization (reference ``DragPose.run``).
-
-    Returns (new_state, (pose (J*4,) normalized with world-rotation root slot,
-    global_pos (3,), iterations used)).
-    """
+) -> Tuple[DragState, FrameOutput]:
+    """One frame of drag optimization (reference ``DragPose.run``)."""
     mean_q, std_q = _quat_stats(model)
 
     # --- temporal rollout every `window` frames (cond avoids the cost when idle)
@@ -425,7 +432,10 @@ def frame_step(
     )
 
     pose_out = aux.pose.at[:4].set((global_rot - mean_q[:4]) / std_q[:4])
-    return new_state, (pose_out, global_pos, final.t)
+    return new_state, FrameOutput(
+        pose=pose_out, global_pos=global_pos, iterations=final.t,
+        loss_pos=final.loss_pos, loss_rot=final.loss_rot,
+    )
 
 
 # ---------------------------------------------------------------------------

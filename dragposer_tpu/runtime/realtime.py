@@ -199,9 +199,8 @@ class RealtimeSession:
                 quat.to_matrix(np.asarray(target_ee_rot, np.float32).reshape(e, 4))
             )
 
-        self._state, (pose, global_pos, _iters) = self._engine.step(
-            self._state, tpos, trot
-        )
+        self._state, out = self._engine.step(self._state, tpos, trot)
+        pose, global_pos = out.pose, out.global_pos
 
         pose = np.asarray(pose)
         mean_q = self._means["dqs"].reshape(-1, 8)[:, :4].reshape(-1)

@@ -44,8 +44,10 @@ def _init(engine, m, n, key=0):
 def test_run_is_deterministic(setup):
     engine, m, n, _ = setup
     state = _init(engine, m, n)
-    _, (p1, g1, i1) = engine.run(state, n.dqs, n.global_pos, n.global_rot)
-    _, (p2, g2, i2) = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    _, o1 = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    _, o2 = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    p1, i1 = o1.pose, o1.iterations
+    p2, i2 = o2.pose, o2.iterations
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
@@ -53,7 +55,8 @@ def test_run_is_deterministic(setup):
 def test_always_at_least_one_iteration(setup):
     engine, m, n, _ = setup
     state = _init(engine, m, n)
-    _, (_, _, iters) = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    _, out = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    iters = out.iterations
     iters = np.asarray(iters)
     assert iters.min() >= 1
     assert iters.max() <= 20
@@ -68,7 +71,8 @@ def test_tracking_reduces_error(setup):
 
     engine, m, n, sk = setup
     state = _init(engine, m, n)
-    _, (poses, gp, _) = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    _, out = engine.run(state, n.dqs, n.global_pos, n.global_rot)
+    poses, gp = out.pose, out.global_pos
     from dragposer_tpu.cli.eval_drag import build_engine  # noqa: F401  (docs)
 
     # export + measure vs GT segment
@@ -180,15 +184,18 @@ def test_batched_matches_single(setup):
     s1 = _init(engine, m, n, key=0)
     s2 = _init(engine, m, n, key=1)
     F = 10
-    _, (p1, g1, i1) = engine.run(s1, n.dqs[:F], n.global_pos[:F], n.global_rot[:F])
-    _, (p2, g2, i2) = engine.run(s2, n.dqs[:F], n.global_pos[:F], n.global_rot[:F])
+    _, o1 = engine.run(s1, n.dqs[:F], n.global_pos[:F], n.global_rot[:F])
+    _, o2 = engine.run(s2, n.dqs[:F], n.global_pos[:F], n.global_rot[:F])
+    p1, i1 = o1.pose, o1.iterations
+    p2, i2 = o2.pose, o2.iterations
 
     states = jax.tree.map(lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
                           s1, s2)
     dqs = np.stack([n.dqs[:F]] * 2)
     gp = np.stack([n.global_pos[:F]] * 2)
     gr = np.stack([n.global_rot[:F]] * 2)
-    _, (pb, gb, ib) = engine.run_batch(states, dqs, gp, gr)
+    _, ob = engine.run_batch(states, dqs, gp, gr)
+    pb, ib = ob.pose, ob.iterations
     # batched matmuls reduce in a different order than single-sequence ones;
     # the fp noise is amplified by the tiny per-channel stds, so compare with
     # a relative tolerance and allow early-stop counts to differ by a step
