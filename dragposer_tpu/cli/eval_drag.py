@@ -241,7 +241,18 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     return results
 
 
+
+def _enable_compilation_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DRAGPOSER_JAX_CACHE",
+                                     "/tmp/dragposer_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Evaluate DragPoser-TPU")
     parser.add_argument("model_path", type=str, help="model folder "
                         "(native .npz or reference .pt checkpoints)")

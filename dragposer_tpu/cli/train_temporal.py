@@ -11,12 +11,24 @@ Requires a trained generator checkpoint in the same model directory.
 from __future__ import annotations
 
 import argparse
+import os
 
 from dragposer_tpu.models import checkpoint
 from dragposer_tpu.train import temporal as train_temporal
 
 
+
+def _enable_compilation_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DRAGPOSER_JAX_CACHE",
+                                     "/tmp/dragposer_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Train Temporal Network")
     parser.add_argument("data_path", type=str)
     parser.add_argument("name", type=str)

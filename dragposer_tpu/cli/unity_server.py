@@ -16,6 +16,7 @@ the current single-frame VAE.
 from __future__ import annotations
 
 import argparse
+import os
 import socket
 import struct
 
@@ -111,7 +112,18 @@ def serve(model_dir: str, reference_bvh: str, host: str = HOST,
                     )
 
 
+
+def _enable_compilation_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DRAGPOSER_JAX_CACHE",
+                                     "/tmp/dragposer_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(description="TCP bridge for Unity clients")
     parser.add_argument("model_path", type=str)
     parser.add_argument("reference_bvh", type=str)
