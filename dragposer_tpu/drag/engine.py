@@ -488,7 +488,10 @@ class DragEngine:
 
     def __init__(self, model: DragModel, statics, skeleton: Skeleton,
                  hyper: DragHyper, tparam):
-        self.model = model
+        # Pin the weights on device once: host-resident params would be
+        # re-uploaded on every dispatch (~5 MB/frame — fatal for realtime
+        # stepping over a tunneled TPU).
+        self.model = jax.device_put(model)
         self.statics = statics
         self.skeleton = skeleton
         self.hyper = hyper

@@ -90,10 +90,13 @@ class RealtimeSession:
         self._mask = mask
         self._weights = weights
         self._mask_indices = np.nonzero(mask)[0]
-        # mask/weights are data — live update without recompiling
+        # mask/weights are data — live update without recompiling (other
+        # leaves stay device-resident; only the two small arrays upload)
         if self._engine is not None and not self._engine_dirty:
+            import jax
+
             self._engine.model = self._engine.model._replace(
-                mask=mask, weights=weights
+                mask=jax.device_put(mask), weights=jax.device_put(weights)
             )
         return int(len(self._mask_indices))
 
