@@ -9,8 +9,8 @@ checkpoints and reproduced training runs are interchangeable
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 
