@@ -238,9 +238,15 @@ def _drag_loss(latent, model: DragModel, statics, skeleton: Skeleton,
                target_latent):
     """Reference ``DragPose.loss`` (``drag_pose.py:66-194``), dense-masked."""
     mean_q, std_q = _quat_stats(model)
-    pose_n, disp_n = vae.decode(
-        model.decoder, statics, latent[None], model.mean_dqs, model.std_dqs
-    )
+    if isinstance(model.decoder, dict) and "ws" in model.decoder:
+        # folded inference decoder (3 matmuls; see vae.fold_decoder)
+        pose_n, disp_n = vae.decode_folded(
+            model.decoder, latent[None], model.mean_dqs, model.std_dqs
+        )
+    else:
+        pose_n, disp_n = vae.decode(
+            model.decoder, statics, latent[None], model.mean_dqs, model.std_dqs
+        )
     pose_n = pose_n[0, :, 0]
     disp = disp_n[0, :, 0] * model.std_disp + model.mean_disp
     qs = (pose_n * std_q + mean_q).reshape(-1, 4)
@@ -488,9 +494,14 @@ class DragEngine:
 
     def __init__(self, model: DragModel, statics, skeleton: Skeleton,
                  hyper: DragHyper, tparam):
-        # Pin the weights on device once: host-resident params would be
-        # re-uploaded on every dispatch (~5 MB/frame — fatal for realtime
-        # stepping over a tunneled TPU).
+        # Fold the decoder into 3 dense matmuls (halves the op count on the
+        # sequential optimization chain), then pin all weights on device:
+        # host-resident params would be re-uploaded on every dispatch
+        # (~5 MB/frame — fatal for realtime stepping over a tunneled TPU).
+        if not (isinstance(model.decoder, dict) and "ws" in model.decoder):
+            model = model._replace(
+                decoder=vae.fold_decoder(model.decoder, statics)
+            )
         self.model = jax.device_put(model)
         self.statics = statics
         self.skeleton = skeleton

@@ -20,9 +20,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dragposer_tpu.models.skeleton_nn import linear
+# Default (fast) matmul precision: the predictor produces *guidance targets*
+# (λ_temporal ≤ 0.15); the numerically sensitive path (decoder+FK) keeps
+# precision=highest.  Measured: highest costs ~6× on the rollout's
+# ff-2048 matmuls at ~1% MXU utilization.
+_PRECISION = "default"
 
-_PRECISION = "highest"
+
+def linear(x, params):
+    """Torch convention: y = x @ Wᵀ + b (fast precision, see _PRECISION)."""
+    return jnp.einsum("...i,oi->...o", x, params["w"],
+                      precision=_PRECISION) + params["b"]
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,58 @@ def decode(params, statics: VAEStatics, z, mean_dqs, std_dqs):
     return motion, displacement
 
 
+def fold_decoder(dec_params, statics: VAEStatics):
+    """Pre-fold the decoder into 3 dense matmuls for inference.
+
+    With kernel size 1 every decoder layer is LeakyReLU(W_conv·mask ·
+    W_unpool · h + b); the constant unpool matrices and masks fold into the
+    conv weights, and the latent projection folds into layer 0:
+    z → 40 → 60 → 92 in exactly three matmuls.  Gradients through the folded
+    form equal gradients through the original chain (same linear maps).
+    """
+    assert statics.kernel == 1, "folding assumes the reference's kernel size 1"
+    ws, bs = [], []
+    w_in = np.asarray(dec_params["f_latent"]["w"])      # (24, L)
+    b_in = np.asarray(dec_params["f_latent"]["b"])      # (24,)
+    for l in range(N_LAYERS):
+        conv = np.asarray(dec_params["convs"][l]["w"])[:, :, 0] * np.asarray(
+            statics.dec_masks[l]
+        )[:, :, 0]
+        w_layer = conv @ np.asarray(statics.dec_unpools[l])
+        if l == 0:
+            ws.append(jnp.asarray(w_layer @ w_in))
+            bs.append(jnp.asarray(w_layer @ b_in
+                                  + np.asarray(dec_params["convs"][l]["b"])))
+        else:
+            ws.append(jnp.asarray(w_layer))
+            bs.append(jnp.asarray(np.asarray(dec_params["convs"][l]["b"])))
+    return {"ws": ws, "bs": bs}
+
+
+def decode_folded(folded, z, mean_dqs, std_dqs):
+    """Inference-only equivalent of :func:`decode` on folded weights."""
+    cpj = CHANNELS_PER_JOINT
+    h = z
+    for l in range(N_LAYERS):
+        h = jnp.einsum("...i,oi->...o", h, folded["ws"][l],
+                       precision="highest") + folded["bs"][l]
+        if l != N_LAYERS - 1:
+            h = nn.leaky_relu(h)
+    h = h[..., None]                                  # (B, 92, 1)
+    motion = h[:, :-cpj, :]
+    displacement = h[:, -cpj:, :][:, :3, :]
+
+    mean_q = mean_dqs.reshape(-1, 8)[:, :cpj].reshape(-1)[None, :, None]
+    std_q = std_dqs.reshape(-1, 8)[:, :cpj].reshape(-1)[None, :, None]
+    motion = motion * std_q + mean_q
+    b, c, t = motion.shape
+    m = motion.reshape(b, c // cpj, cpj, t)
+    m = quat.normalize(jnp.moveaxis(m, -1, 1))
+    motion = jnp.moveaxis(m, 1, -1).reshape(b, c, t)
+    motion = (motion - mean_q) / std_q
+    return motion, displacement
+
+
 def forward(params, statics: VAEStatics, key, x, mean_dqs, std_dqs):
     """Full VAE pass.  x: (B, J*8, T) → (motion, displacement, mu, logvar, z)."""
     mu, logvar = encode(params["encoder"], statics, x)

@@ -137,8 +137,8 @@ def test_dense_mask_matches_indexed_loss(setup):
     std_q = np.asarray(model.std_dqs).reshape(-1, 8)[:, :4].reshape(-1)
     from dragposer_tpu.models import vae as vae_mod
 
-    pose_n, _ = vae_mod.decode(model.decoder, engine.statics, latent[None],
-                               model.mean_dqs, model.std_dqs)
+    pose_n, _ = vae_mod.decode_folded(model.decoder, latent[None],
+                                      model.mean_dqs, model.std_dqs)
     qs = (np.asarray(pose_n)[0, :, 0] * std_q + mean_q).reshape(22, 4)
     world_rot = np.asarray(q.mul(grot, qs[0]))
     rs = qs.copy()
