@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# NOTE: on machines with the axon TPU tunnel, a sitecustomize hook (gated on
+# PALLAS_AXON_POOL_IPS) initializes the JAX backends at interpreter startup,
+# freezing the CPU device count before this file runs; the multi-device mesh
+# tests then skip.  Run `tests/run_all.sh` (scrubbed environment) to include
+# them.  (A conftest re-exec does not work: pytest's fd-level capture
+# swallows the child's output.)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/dragposer_jax_cache")
