@@ -186,10 +186,15 @@ def train(
     key, init_key, stats_key = jax.random.split(key, 3)
     tparams = tmodel.init_params(init_key, param)
 
+    resume_best = None
     if load:
         tparams, extra = checkpoint.load(os.path.join(model_dir, "temporal.npz"))
         means_latent = jnp.asarray(extra["means_latent"])
         stds_latent = jnp.asarray(extra["stds_latent"])
+        resume_best = True  # re-establish the bar before overwriting
+        # (the reference resets best_evaluation to inf after loading,
+        # train_temporal.py:176, so a resumed run can overwrite a better
+        # checkpoint with a worse one — deliberately fixed here)
     else:
         log(f"computing latent stats over {data.dqs_past.shape[0]} windows ...")
         ml, sl = compute_latent_stats(vae_params, statics, stats_key, data)
@@ -208,6 +213,12 @@ def train(
     n = data.dqs_past.shape[0]
     bs = min(param["batch_size"], n)
     best = float("inf")
+    if resume_best:
+        key, bk = jax.random.split(key)
+        best = evaluate(eval_step, tparams, bk, eval_data, means_latent,
+                        stds_latent,
+                        batch=min(bs, eval_data.dqs_past.shape[0]))
+        log(f"resumed; previous checkpoint eval loss: {best:.4f}")
     n_epochs = epochs if epochs is not None else param["epochs"]
     start = time.time()
     for epoch in range(n_epochs):
