@@ -107,7 +107,8 @@ def build_engine(model_dir: str, parents, tracker: cfg.TrackerConfig,
 
 def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
                   *, max_frames: int | None = None, save_dir: str = "data",
-                  verbose: bool = False, seed: int = cfg.VAE_PARAM["seed"]):
+                  verbose: bool = False, seed: int = cfg.VAE_PARAM["seed"],
+                  downsample_gt: int = 1):
     filename = os.path.basename(input_path)
     bvh = BVH().load(input_path)
     rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
@@ -154,7 +155,7 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
     out_bvh.save(eval_path)
 
     mpjpe, mpeepe = metrics.positional_error(
-        bvh, BVH().load(eval_path), downsample_gt=1
+        bvh, BVH().load(eval_path), downsample_gt=downsample_gt
     )
     print(f"Evaluate Loss: {mpjpe + mpeepe}")
     print(f"Mean Per Joint Position Error: {mpjpe}")
@@ -271,6 +272,10 @@ def main(argv=None):
     parser.add_argument("--batch", action="store_true",
                         help="reconstruct all files of a directory "
                              "concurrently in one vmapped device program")
+    parser.add_argument("--downsample-gt", type=int, default=1,
+                        help="downsample factor for the GT in the metric "
+                             "(reference eval_drag.py:246 — use 2 when the "
+                             "GT is 120 fps and the eval assumes 60)")
     args = parser.parse_args(argv)
 
     tracker = resolve_config(args.config)
@@ -307,7 +312,8 @@ def main(argv=None):
                 print(f"Evaluate {path} ------------------------")
                 evaluate_file(engine, means, stds, skeleton, path,
                               max_frames=args.max_frames,
-                              save_dir=args.save_dir, verbose=args.verbose)
+                              save_dir=args.save_dir, verbose=args.verbose,
+                              downsample_gt=args.downsample_gt)
     if args.profile:
         print(f"profiler trace written to {args.profile}")
 
