@@ -166,7 +166,7 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
 
 def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
                      *, max_frames=None, save_dir: str = "data",
-                     seed: int = cfg.VAE_PARAM["seed"]):
+                     seed: int = cfg.VAE_PARAM["seed"], downsample_gt: int = 1):
     """Reconstruct many sequences concurrently in one vmapped device program.
 
     Sequences are padded to the longest by repeating their last frame; the
@@ -231,7 +231,7 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
         eval_path = os.path.join(save_dir, "eval_" + filename)
         out_bvh.save(eval_path)
         mpjpe, mpeepe = metrics.positional_error(
-            bvhs[i], BVH().load(eval_path), downsample_gt=1
+            bvhs[i], BVH().load(eval_path), downsample_gt=downsample_gt
         )
         print(f"{filename}: Evaluate Loss: {mpjpe + mpeepe:.6f} // "
               f"MPJPE: {mpjpe:.6f} // MPEEPE: {mpeepe:.6f}")
@@ -306,7 +306,8 @@ def main(argv=None):
         if args.batch and len(files) > 1:
             evaluate_batched(engine, means, stds, skeleton, files,
                              max_frames=args.max_frames,
-                             save_dir=args.save_dir)
+                             save_dir=args.save_dir,
+                             downsample_gt=args.downsample_gt)
         else:
             for path in files:
                 print(f"Evaluate {path} ------------------------")

@@ -162,11 +162,15 @@ def _hold_index(window: int, step: int) -> np.ndarray:
     """Static map target-buffer slot → rollout prediction index.
 
     Reproduces the reference's sequence of constant-hold overwrites
-    (``drag_pose.py:282-289``): slot k reads prediction ⌈k/step⌉, except
-    slot 0 which ends up holding prediction 1 (for window > 0)."""
+    (``drag_pose.py:272-290``).  The first loop writes prediction ``i/step``
+    (0-indexed here) into slot ``i`` for ``i in range(0, window+1, step)``;
+    the second loop then overwrites slots ``[i : i+step+1]`` with the value
+    at slot ``i+step`` (lerp with weight 1).  Net effect: slot ``k`` holds
+    prediction ``min(k//step + 1, window//step)`` — prediction 0 is computed
+    for the autoregressive chain but never lands in the buffer (window > 0)."""
     if window == 0:
         return np.zeros(1, dtype=np.int32)
-    idx = np.maximum((np.arange(window + 1) + step - 1) // step, 1)
+    idx = np.minimum(np.arange(window + 1) // step + 1, window // step)
     return idx.astype(np.int32)
 
 

@@ -205,3 +205,34 @@ def test_batched_matches_single(setup):
                                rtol=1e-3, atol=5e-3)
     assert np.abs(np.asarray(ib)[0].astype(int) - np.asarray(i1).astype(int)).max() <= 2
     assert np.abs(np.asarray(ib)[1].astype(int) - np.asarray(i2).astype(int)).max() <= 2
+
+
+def _reference_hold_simulation(window: int, step: int) -> np.ndarray:
+    """Slot-for-slot simulation of the reference's target-buffer fill
+    (``drag_pose.py:272-290``) using 0-indexed prediction ids.
+
+    Loop 1 writes prediction ``i//step`` into slot ``i`` for
+    ``i in range(0, window+1, step)``; loop 2 overwrites slots
+    ``[i : i+step+1]`` with slot ``i+step``'s value (torch.lerp with
+    weight 1, RHS evaluated before assignment).
+    """
+    buf = np.full(window + 1, -1, dtype=np.int32)
+    for i in range(0, window + 1, step):
+        buf[i] = i // step
+    for i in range(0, window, step):
+        buf[i : i + step + 1] = buf[i + step]
+    return buf
+
+
+@pytest.mark.parametrize("window,step", [(0, 4), (16, 4), (60, 4), (8, 2),
+                                         (4, 4), (60, 10)])
+def test_hold_index_matches_reference_overwrites(window, step):
+    from dragposer_tpu.drag.engine import _hold_index
+
+    ours = _hold_index(window, step)
+    if window == 0:
+        # reference skips loop 2 entirely; slot 0 keeps prediction 0
+        np.testing.assert_array_equal(ours, [0])
+        return
+    ref = _reference_hold_simulation(window, step)
+    np.testing.assert_array_equal(ours, ref)

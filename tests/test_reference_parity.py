@@ -4,7 +4,14 @@ Runs the reference's ``eval_drag.main`` (via the pymotion-compatible shim in
 ``tools/pymotion_shim``) and this framework on the identical trimmed clip,
 model weights (reference generator + our exported temporal) and tracker
 config, then compares MPJPE/MPEEPE.  BASELINE.json requires agreement within
-1%; measured difference at 300 frames is ~0.1%.
+1%.
+
+Two configs are pinned as regression anchors:
+
+* ``6_trackers`` — temporal window 0 (single next-frame prediction);
+* ``4_trackers`` — temporal window 16, exercising the autoregressive rollout,
+  the constant-hold upsample map and ``current_index`` cycling
+  (``drag_pose.py:272-296``).
 
 This is the slowest test in the suite (reference torch CPU + our CPU jit);
 it uses a short clip to stay tractable.
@@ -20,18 +27,22 @@ import pytest
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 FRAMES = 300
-CONFIG = "/root/reference/python/config/6_trackers_config.json"
+CONFIGS = {
+    "6_trackers": "/root/reference/python/config/6_trackers_config.json",
+    "4_trackers": "/root/reference/python/config/4_trackers_config.json",
+}
 
 
-@pytest.fixture(scope="module")
-def reference_result(tmp_path_factory):
-    workdir = str(tmp_path_factory.mktemp("refrun"))
+@pytest.fixture(scope="module", params=sorted(CONFIGS))
+def reference_result(request, tmp_path_factory):
+    config = CONFIGS[request.param]
+    workdir = str(tmp_path_factory.mktemp(f"refrun_{request.param}"))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
-         workdir, str(FRAMES), CONFIG],
-        capture_output=True, text=True, env=env, timeout=1200,
+         workdir, str(FRAMES), config],
+        capture_output=True, text=True, env=env, timeout=2400,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     text = out.stdout
@@ -42,6 +53,7 @@ def reference_result(tmp_path_factory):
         return float(m.group(1))
 
     return {
+        "config": config,
         "mpjpe": grab("Mean Per Joint Position Error"),
         "mpeepe": grab("Mean End Effector Position Error"),
         "time": grab("Time"),
@@ -62,7 +74,7 @@ def test_matches_reference_within_one_percent(reference_result):
     skeleton = Skeleton.build(parents, offsets, bvh.names)
     engine, means, stds = build_engine(
         os.path.join(REPO, "models", "model_dancedb_example"),
-        parents, resolve_config(CONFIG), skeleton=skeleton,
+        parents, resolve_config(reference_result["config"]), skeleton=skeleton,
     )
     mpjpe, mpeepe, elapsed, _ = evaluate_file(
         engine, means, stds, skeleton, clip,
