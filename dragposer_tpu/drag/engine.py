@@ -73,6 +73,12 @@ class DragHyper(NamedTuple):
     use_temporal: bool = True
     joint_adjustment: Optional[Tuple[int, int]] = (0, 0)  # (joint, ee joint) or None
     joint_adjustment_weight: float = 1.0
+    # Extension hook: "constraints as losses" (the reference documents these
+    # as commented-out code, ``drag_pose.py:129-183``; the paper sells the
+    # capability).  Each entry is ``(fn, weight)`` where ``fn`` is a pure
+    # function ``ConstraintContext -> scalar``; the weighted sum joins the
+    # drag objective.  Built-ins live in ``dragposer_tpu.drag.constraints``.
+    constraints: Tuple[Tuple[Any, float], ...] = ()
 
 
 class DragModel(NamedTuple):
@@ -227,6 +233,24 @@ def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
 # The per-frame loss (differentiated w.r.t. the latent)
 # ---------------------------------------------------------------------------
 
+class ConstraintContext(NamedTuple):
+    """Differentiable quantities a constraint loss may read.
+
+    ``positions``/``rotmats`` are world-oriented with the *previous* frame's
+    root as origin (the reference's ``pos_qs``/``rotmats_qs``);
+    ``global_pos`` is that previous root position, so ``positions +
+    global_pos`` is absolute world space — exactly what the reference's
+    commented constraints compute (``drag_pose.py:129-165``)."""
+
+    latent: jnp.ndarray       # (L,) the optimized variable
+    pose: jnp.ndarray         # (J*4,) normalized decoder output
+    positions: jnp.ndarray    # (J, 3) FK positions, previous root = origin
+    world_quats: jnp.ndarray  # (J, 4) world joint rotations
+    rotmats: jnp.ndarray      # (J, 3, 3) world joint rotation matrices
+    global_pos: jnp.ndarray   # (3,) previous frame's global root position
+    world_displacement: jnp.ndarray  # (3,) this frame's root displacement
+
+
 class _LossAux(NamedTuple):
     loss_pos: jnp.ndarray
     loss_rot: jnp.ndarray            # already scaled by lambda_rot
@@ -238,8 +262,8 @@ class _LossAux(NamedTuple):
 
 
 def _drag_loss(latent, model: DragModel, statics, skeleton: Skeleton,
-               hyper: DragHyper, global_rot, target_ee_pos, target_ee_rot,
-               target_latent):
+               hyper: DragHyper, global_pos, global_rot, target_ee_pos,
+               target_ee_rot, target_latent):
     """Reference ``DragPose.loss`` (``drag_pose.py:66-194``), dense-masked."""
     mean_q, std_q = _quat_stats(model)
     if isinstance(model.decoder, dict) and "ws" in model.decoder:
@@ -277,6 +301,15 @@ def _drag_loss(latent, model: DragModel, statics, skeleton: Skeleton,
     loss_rot = loss_rot * hyper.lambda_rot
     lam_t = hyper.lambda_temporal if hyper.use_temporal else 0.0
     total = loss_pos + loss_rot + loss_temporal * lam_t
+
+    if hyper.constraints:
+        ctx = ConstraintContext(
+            latent=latent, pose=pose_n, positions=positions,
+            world_quats=world_quats, rotmats=rotmats,
+            global_pos=global_pos, world_displacement=world_displacement,
+        )
+        for fn, weight in hyper.constraints:
+            total = total + weight * fn(ctx)
     aux = _LossAux(
         loss_pos=loss_pos,
         loss_rot=loss_rot,
@@ -310,7 +343,8 @@ class _OptCarry(NamedTuple):
 
 
 def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
-              global_rot, target_ee_pos, target_ee_rot, target_latent):
+              global_pos, global_rot, target_ee_pos, target_ee_rot,
+              target_latent):
     loss_grad = jax.value_and_grad(_drag_loss, has_aux=True)
 
     def cond(c: _OptCarry):
@@ -322,8 +356,8 @@ def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
 
     def body(c: _OptCarry):
         (total, aux), g = loss_grad(
-            c.latent, model, statics, skeleton, hyper, global_rot,
-            target_ee_pos, target_ee_rot, target_latent,
+            c.latent, model, statics, skeleton, hyper, global_pos,
+            global_rot, target_ee_pos, target_ee_rot, target_latent,
         )
         t = c.t + 1
         m = _ADAM_B1 * c.m + (1.0 - _ADAM_B1) * g
@@ -398,7 +432,7 @@ def frame_step(
 
     # --- latent optimization
     final = _optimize(
-        state.latent, model, statics, skeleton, hyper,
+        state.latent, model, statics, skeleton, hyper, state.global_pos,
         state.global_rot, target_ee_pos, target_ee_rot, target_latent,
     )
     aux = final.aux

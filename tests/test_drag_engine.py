@@ -123,7 +123,8 @@ def test_dense_mask_matches_indexed_loss(setup):
 
     total, aux = eng._drag_loss(
         jnp.asarray(latent), model, engine.statics, sk, engine.hyper,
-        jnp.asarray(grot), jnp.asarray(tpos), jnp.asarray(trot), jnp.asarray(tlat),
+        jnp.zeros(3), jnp.asarray(grot), jnp.asarray(tpos),
+        jnp.asarray(trot), jnp.asarray(tlat),
     )
 
     # indexed oracle
