@@ -195,7 +195,10 @@ def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
     acc_idx = past[:-1, None] + np.arange(step)[None, :]       # static (P-1, S)
     disp_acc = state.displacement_buffer[acc_idx].sum(axis=1)  # (P-1, 3)
     heights = state.heights_buffer[past][:-1]                  # (P-1, H)
-    enc_in = jnp.concatenate((lat, disp_acc, heights), axis=-1)[None]
+    # NOTE: deliberately UNBATCHED (no [None]) — under run_batch's vmap a
+    # singleton batch dim padded to a full sublane tile and made the
+    # transformer ~8× slower; vmap adds the real batch dim itself.
+    enc_in = jnp.concatenate((lat, disp_acc, heights), axis=-1)  # (P-1, 33)
 
     n_steps = hyper.temporal_future_window // step + 1
     token0 = (state.latent_buffer[past][-1] - model.means_latent) / model.stds_latent
@@ -211,8 +214,8 @@ def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
             jnp.arange(n_steps) <= k, 0.0, -jnp.inf
         ).astype(jnp.float32)[None, :]
         pred = temporal_model.forward(
-            model.temporal, tparam, enc_in, tokens[None], tgt_mask=mask
-        )[0]                                                    # (n_steps, L)
+            model.temporal, tparam, enc_in, tokens, tgt_mask=mask
+        )                                                       # (n_steps, L)
         out_k = jnp.take(pred, k, axis=0)
         tokens = jax.lax.cond(
             k + 1 < n_steps,
@@ -413,18 +416,31 @@ def frame_step(
     state: DragState,
     target_ee_pos: jnp.ndarray,   # (J, 3), garbage at inactive joints
     target_ee_rot: jnp.ndarray,   # (J, 3, 3)
+    batched: bool = False,
 ) -> Tuple[DragState, FrameOutput]:
-    """One frame of drag optimization (reference ``DragPose.run``)."""
+    """One frame of drag optimization (reference ``DragPose.run``).
+
+    ``batched=True`` marks a call that will run under ``vmap``: the rollout
+    gate becomes compute+select instead of ``lax.cond`` — under a batched
+    predicate both cond branches execute anyway, and cond batching
+    instantiates the model weights along the batch, which demotes the
+    transformer matmuls to per-sequence GEMVs (VPU loops, measured 8×)."""
     mean_q, std_q = _quat_stats(model)
 
     # --- temporal rollout every `window` frames (cond avoids the cost when idle)
     if hyper.use_temporal:
-        target_buffer = jax.lax.cond(
-            state.current_index == 0,
-            lambda s: _temporal_rollout(model, hyper, tparam, s),
-            lambda s: s.target_buffer,
-            state,
-        )
+        if batched or hyper.temporal_future_window == 0:
+            new_buffer = _temporal_rollout(model, hyper, tparam, state)
+            target_buffer = jnp.where(
+                state.current_index == 0, new_buffer, state.target_buffer
+            )
+        else:
+            target_buffer = jax.lax.cond(
+                state.current_index == 0,
+                lambda s: _temporal_rollout(model, hyper, tparam, s),
+                lambda s: s.target_buffer,
+                state,
+            )
         target_latent = target_buffer[state.current_index]
     else:
         target_buffer = state.target_buffer
@@ -499,20 +515,22 @@ def _eval_targets(model: DragModel, skeleton: Skeleton, state: DragState,
 
 
 def eval_frame_step(model, statics, skeleton, hyper, tparam, state,
-                    frame_inputs):
+                    frame_inputs, batched: bool = False):
     dqs_norm, gt_pos, gt_rot = frame_inputs
     tpos, trot = _eval_targets(model, skeleton, state, dqs_norm, gt_pos, gt_rot)
-    return frame_step(model, statics, skeleton, hyper, tparam, state, tpos, trot)
+    return frame_step(model, statics, skeleton, hyper, tparam, state, tpos,
+                      trot, batched=batched)
 
 
 def run_sequence(model, statics, skeleton, hyper: DragHyper, tparam,
-                 state: DragState, dqs_norm, gt_pos, gt_rot):
+                 state: DragState, dqs_norm, gt_pos, gt_rot,
+                 batched: bool = False):
     """Reconstruct a full sequence (un-jitted building block; prefer
     :class:`DragEngine` which compiles this once)."""
 
     def step(carry, inputs):
         return eval_frame_step(model, statics, skeleton, hyper, tparam,
-                               carry, inputs)
+                               carry, inputs, batched=batched)
 
     return jax.lax.scan(step, state, (dqs_norm, gt_pos, gt_rot))
 
@@ -557,11 +575,15 @@ class DragEngine:
             return run_sequence(model, statics, skeleton, hyper, tparam,
                                 state, dqs, gp, gr)
 
+        def _run_b(model, state, dqs, gp, gr):
+            return run_sequence(model, statics, skeleton, hyper, tparam,
+                                state, dqs, gp, gr, batched=True)
+
         self._init = jax.jit(_init)
         self._step = jax.jit(_step)
         self._run = jax.jit(_run)
         self._run_batch = jax.jit(
-            jax.vmap(_run, in_axes=(None, 0, 0, 0, 0))
+            jax.vmap(_run_b, in_axes=(None, 0, 0, 0, 0))
         )
 
     def init_state(self, key, initial_pose, initial_global_pos,

@@ -33,6 +33,44 @@ def linear(x, params):
                       precision=_PRECISION) + params["b"]
 
 
+def _rowdot_impl(x, w, b):
+    return jnp.einsum("...i,oi->...o", x, w, precision=_PRECISION) + b
+
+
+@jax.custom_batching.custom_vmap
+def _rowdot(x, w, b):
+    """y = x @ Wᵀ + b whose vmap FOLDS the mapped axis into the row dim.
+
+    Under the drag engine's per-sequence ``vmap`` the decoder processes one
+    token per sequence, so the default batching rule emits dot_generals with
+    batch=512, M=1 — XLA lowers those as VPU multiply-reduce loops (~8×
+    slower than MXU; measured 244 µs vs 30 µs for the ff-2048 projections).
+    Since the weights are unbatched, batching is just more rows: the rule
+    re-enters the same einsum with the batch as a leading free dim, which
+    XLA folds into a single MXU matmul.  Inference paths only (custom_vmap
+    does not compose with reverse-mode AD)."""
+    return _rowdot_impl(x, w, b)
+
+
+@_rowdot.def_vmap
+def _rowdot_vmap_rule(axis_size, in_batched, x, w, b):
+    x_b, w_b, b_b = in_batched
+    if w_b or b_b:
+        # weights got instantiated along the batch (e.g. lax.cond batching
+        # broadcasts both branches' operands) — keep the naive batched form
+        if not x_b:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        if not w_b:
+            w = jnp.broadcast_to(w[None], (axis_size,) + w.shape)
+        if not b_b:
+            b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+        y = jnp.einsum("B...i,Boi->B...o", x, w, precision=_PRECISION)
+        return y + b.reshape(b.shape[:1] + (1,) * (y.ndim - 2) + b.shape[-1:]), True
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    return _rowdot_impl(x, w, b), True
+
+
 # ---------------------------------------------------------------------------
 # Positional encoding (reference ``positional_encoding.py``)
 # ---------------------------------------------------------------------------
@@ -142,10 +180,13 @@ def _dropout(x, rate, key, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def _attention(p, q_in, kv_in, n_heads: int, mask=None):
+def _attention(p, q_in, kv_in, n_heads: int, mask=None, dot=_rowdot_impl):
     """Multi-head attention, torch packed-projection layout.
 
-    q_in: (B, Sq, D); kv_in: (B, Sk, D); mask: additive (Sq, Sk) or None.
+    q_in: (..., Sq, D); kv_in: (..., Sk, D); mask: additive (Sq, Sk) or None.
+    Leading dims are arbitrary (the drag engine calls this UNBATCHED and
+    lets ``vmap`` add the sequence batch — explicit singleton batch dims
+    produced 8× slower padded layouts on TPU).
     """
     d = q_in.shape[-1]
     dh = d // n_heads
@@ -153,35 +194,37 @@ def _attention(p, q_in, kv_in, n_heads: int, mask=None):
     bq, bk, bv = jnp.split(p["in_b"], 3, axis=0)
 
     def proj(x, w, b):
-        y = jnp.einsum("bsd,od->bso", x, w, precision=_PRECISION) + b
-        b_, s, _ = y.shape
-        return y.reshape(b_, s, n_heads, dh).transpose(0, 2, 1, 3)  # (B,H,S,dh)
+        # head split via reshape only — the head axis rides inside the
+        # einsums below; no (..., H, S, dh) layout copies
+        y = dot(x, w, b)
+        return y.reshape(y.shape[:-1] + (n_heads, dh))       # (...,S,H,dh)
 
     q = proj(q_in, wq, bq)
     k = proj(kv_in, wk, bk)
     v = proj(kv_in, wv, bv)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_PRECISION) / math.sqrt(dh)
+    scores = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        precision=_PRECISION) / math.sqrt(dh)
     if mask is not None:
         scores = scores + mask
     attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=_PRECISION)
-    out = out.transpose(0, 2, 1, 3).reshape(q_in.shape)
-    return jnp.einsum("bsd,od->bso", out, p["out_w"], precision=_PRECISION) + p["out_b"]
+    out = jnp.einsum("...hqk,...khd->...qhd", attn, v, precision=_PRECISION)
+    out = out.reshape(q_in.shape)
+    return dot(out, p["out_w"], p["out_b"])
 
 
-def _ff(p, x, rate, key, train):
-    h = jax.nn.relu(linear(x, p["ff1"]))
+def _ff(p, x, rate, key, train, dot=_rowdot_impl):
+    h = jax.nn.relu(dot(x, p["ff1"]["w"], p["ff1"]["b"]))
     h = _dropout(h, rate, key, train)
-    return linear(h, p["ff2"])
+    return dot(h, p["ff2"]["w"], p["ff2"]["b"])
 
 
 def forward(params, param, latent, latent_target, tgt_mask=None, *,
             train: bool = False, rng: Optional[jax.Array] = None):
     """Seq2seq pass.
 
-    latent:        (B, S_past, latent_dim + 3 + heights)  encoder tokens
-    latent_target: (B, S_fut, latent_dim)                 decoder tokens
-    Returns (B, S_fut, latent_dim).
+    latent:        (..., S_past, latent_dim + 3 + heights)  encoder tokens
+    latent_target: (..., S_fut, latent_dim)                 decoder tokens
+    Returns (..., S_fut, latent_dim).  Leading dims arbitrary (may be absent).
     """
     d = param["features_transformer"]
     h = param["n_heads"]
@@ -192,34 +235,36 @@ def forward(params, param, latent, latent_target, tgt_mask=None, *,
     if train:
         rngs = iter(jax.random.split(rng, 64))
         nk = lambda: next(rngs)  # noqa: E731
+        dot = _rowdot_impl  # custom_vmap doesn't compose with reverse-mode AD
     else:
         nk = lambda: None  # noqa: E731
+        dot = _rowdot      # fold any outer vmap into MXU rows
 
     src = _dropout(latent, rate, nk(), train)            # in_dropout (enc only)
-    src = linear(src, params["in_proj_enc"])
-    tgt = linear(latent_target, params["in_proj_dec"])
-    src = _dropout(src + pe[: src.shape[1]], rate, nk(), train)   # PE dropout
-    tgt = _dropout(tgt + pe[: tgt.shape[1]], rate, nk(), train)
+    src = dot(src, params["in_proj_enc"]["w"], params["in_proj_enc"]["b"])
+    tgt = dot(latent_target, params["in_proj_dec"]["w"], params["in_proj_dec"]["b"])
+    src = _dropout(src + pe[: src.shape[-2]], rate, nk(), train)  # PE dropout
+    tgt = _dropout(tgt + pe[: tgt.shape[-2]], rate, nk(), train)
 
     # encoder (post-LN)
     for lp in params["enc_layers"]:
-        a = _attention(lp["self_attn"], src, src, h)
+        a = _attention(lp["self_attn"], src, src, h, dot=dot)
         src = _layer_norm(src + _dropout(a, rate, nk(), train), lp["ln1"])
-        f = _ff(lp, src, rate, nk(), train)
+        f = _ff(lp, src, rate, nk(), train, dot=dot)
         src = _layer_norm(src + _dropout(f, rate, nk(), train), lp["ln2"])
     memory = _layer_norm(src, params["enc_norm"])
 
     # decoder (post-LN)
     for lp in params["dec_layers"]:
-        a = _attention(lp["self_attn"], tgt, tgt, h, mask=tgt_mask)
+        a = _attention(lp["self_attn"], tgt, tgt, h, mask=tgt_mask, dot=dot)
         tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln1"])
-        a = _attention(lp["cross_attn"], tgt, memory, h)
+        a = _attention(lp["cross_attn"], tgt, memory, h, dot=dot)
         tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln2"])
-        f = _ff(lp, tgt, rate, nk(), train)
+        f = _ff(lp, tgt, rate, nk(), train, dot=dot)
         tgt = _layer_norm(tgt + _dropout(f, rate, nk(), train), lp["ln3"])
     out = _layer_norm(tgt, params["dec_norm"])
 
-    return linear(out, params["out_proj"])
+    return dot(out, params["out_proj"]["w"], params["out_proj"]["b"])
 
 
 def count_params(params) -> int:
