@@ -579,8 +579,23 @@ class DragEngine:
             return run_sequence(model, statics, skeleton, hyper, tparam,
                                 state, dqs, gp, gr, batched=True)
 
+        def _step_rt(model, state, tpos, trot_quats):
+            # Fused realtime frame: target quats→matrices, the frame step,
+            # and root-space→parent-local conversion all in ONE device
+            # program — the embedded client pays a single dispatch+fetch
+            # per frame instead of three (host eager ops cost a tunnel/IPC
+            # round trip each in the DLL deployment).
+            trot = quat.to_matrix(trot_quats)
+            new_state, out = frame_step(model, statics, skeleton, hyper,
+                                        tparam, state, tpos, trot)
+            mean_q, std_q = _quat_stats(model)
+            rs = (out.pose * std_q + mean_q).reshape(-1, 4)
+            local = fk.from_root_quat(rs, skeleton)
+            return new_state, local, out.global_pos
+
         self._init = jax.jit(_init)
         self._step = jax.jit(_step)
+        self._step_rt = jax.jit(_step_rt)
         self._run = jax.jit(_run)
         self._run_batch = jax.jit(
             jax.vmap(_run_b, in_axes=(None, 0, 0, 0, 0))
@@ -590,6 +605,12 @@ class DragEngine:
                    initial_global_rot, initial_heights) -> DragState:
         return self._init(self.model, key, initial_pose, initial_global_pos,
                           initial_global_rot, initial_heights)
+
+    def step_realtime(self, state, target_ee_pos, target_ee_rot_quats):
+        """One fused realtime frame: (new_state, parent-local wxyz (J,4),
+        global_pos (3,)) from dense targets with QUATERNION rotations."""
+        return self._step_rt(self.model, state, target_ee_pos,
+                             target_ee_rot_quats)
 
     def step(self, state, target_ee_pos, target_ee_rot):
         return self._step(self.model, state, target_ee_pos, target_ee_rot)

@@ -31,12 +31,26 @@ from dragposer_tpu import config as cfg
 from dragposer_tpu.data import encoding
 from dragposer_tpu.io.bvh import BVH
 from dragposer_tpu.models import loading, vae
-from dragposer_tpu.ops import fk, host_device, quat
 from dragposer_tpu.ops.topology import Skeleton
+
+
+def _enable_compilation_cache():
+    """Persistent XLA cache — the embedded client must not pay a multi-second
+    compile inside the first ``drag_pose`` on every process start."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("DRAGPOSER_JAX_CACHE", "/tmp/dragposer_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # already configured by the host application
 
 
 class RealtimeSession:
     def __init__(self, log_path: Optional[str] = "log_python.txt"):
+        _enable_compilation_cache()
         self._log_path = log_path
         self.skeleton: Optional[Skeleton] = None
         self._engine = None
@@ -102,18 +116,26 @@ class RealtimeSession:
 
     def set_optim_params(self, stop_eps_pos: float, stop_eps_rot: float,
                          max_iter: int, lr: float) -> None:
-        self.stop_eps_pos = float(stop_eps_pos)
-        self.stop_eps_rot = float(stop_eps_rot)
-        self.max_iter = int(max_iter)
-        self.learning_rate = float(lr)
-        self._engine_dirty = True
+        # Clients (reference DragPoser.cs:150-173) push params EVERY frame;
+        # only an actual change may invalidate the compiled engine.
+        new = (float(stop_eps_pos), float(stop_eps_rot), int(max_iter),
+               float(lr))
+        old = (self.stop_eps_pos, self.stop_eps_rot, self.max_iter,
+               self.learning_rate)
+        (self.stop_eps_pos, self.stop_eps_rot, self.max_iter,
+         self.learning_rate) = new
+        if new != old:
+            self._engine_dirty = True
 
     def set_lambdas(self, lambda_rot: float, lambda_temporal: float,
                     temporal_future_window: int) -> None:
-        self.lambda_rot = float(lambda_rot)
-        self.lambda_temporal = float(lambda_temporal)
-        self.temporal_future_window = int(temporal_future_window)
-        self._engine_dirty = True
+        new = (float(lambda_rot), float(lambda_temporal),
+               int(temporal_future_window))
+        old = (self.lambda_rot, self.lambda_temporal,
+               self.temporal_future_window)
+        self.lambda_rot, self.lambda_temporal, self.temporal_future_window = new
+        if new != old:
+            self._engine_dirty = True
 
     # ------------------------------------------------------------------
     def _build_engine(self):
@@ -165,6 +187,7 @@ class RealtimeSession:
                     target_buffer=tb,
                     current_index=np.zeros((), np.int32),
                 )
+                self._prewarm()
 
     # ------------------------------------------------------------------
     def init_drag_pose(self, initial_global_pos: np.ndarray,
@@ -182,6 +205,29 @@ class RealtimeSession:
             np.asarray(initial_global_rot, np.float32).reshape(4),
             np.zeros(len(cfg.HEIGHT_INDICES), np.float32),
         )
+        self._prewarm()
+
+    def _prewarm(self):
+        """Run one full (discarded) ``drag_pose`` NOW so the client's first
+        real frame runs at steady-state latency — this compiles the device
+        step AND the host-side conversion ops (quat→matrix in,
+        root-space→local out).  The reference DLL sequence (main.cpp:10-41)
+        calls init before the frame loop, so the pause lands where a
+        model-load wait is expected."""
+        import time as _t
+
+        j = self.skeleton.n_joints
+        e = max(len(getattr(self, "_mask_indices", [0])), 1)
+        t0 = _t.time()
+        saved = self._state
+        try:
+            rot = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (e, 1))
+            self.drag_pose(np.zeros((e, 3), np.float32), rot,
+                           np.zeros((j, 4), np.float32),
+                           np.zeros((1, 3), np.float32))
+        finally:
+            self._state = saved
+        self.log(f"prewarm: full frame path compiled in {_t.time() - t0:.2f}s")
 
     def set_global_pos(self, global_pos: np.ndarray) -> None:
         self._state = self._state._replace(
@@ -190,26 +236,25 @@ class RealtimeSession:
 
     def drag_pose(self, target_ee_pos: np.ndarray, target_ee_rot: np.ndarray,
                   out_pose: np.ndarray, out_global_pos: np.ndarray) -> None:
-        """One realtime frame.  target_ee_rot are wxyz quaternions (E, 4)."""
+        """One realtime frame.  target_ee_rot are wxyz quaternions (E, 4).
+
+        The quat→matrix target conversion, the frame step, and the
+        root-space→parent-local output conversion run as ONE fused device
+        program (``DragEngine.step_realtime``): a single dispatch + a single
+        fetch per frame."""
+        import jax
+
         self._ensure_engine()
         j = self.skeleton.n_joints
         e = len(self._mask_indices)
         tpos = np.zeros((j, 3), np.float32)
-        trot = np.tile(np.eye(3, dtype=np.float32), (j, 1, 1))
+        trot = np.zeros((j, 4), np.float32)
+        trot[:, 0] = 1.0
         tpos[self._mask_indices] = np.asarray(target_ee_pos, np.float32).reshape(e, 3)
-        with host_device():
-            trot[self._mask_indices] = np.asarray(
-                quat.to_matrix(np.asarray(target_ee_rot, np.float32).reshape(e, 4))
-            )
+        trot[self._mask_indices] = np.asarray(target_ee_rot, np.float32).reshape(e, 4)
 
-        self._state, out = self._engine.step(self._state, tpos, trot)
-        pose, global_pos = out.pose, out.global_pos
-
-        pose = np.asarray(pose)
-        mean_q = self._means["dqs"].reshape(-1, 8)[:, :4].reshape(-1)
-        std_q = self._stds["dqs"].reshape(-1, 8)[:, :4].reshape(-1)
-        rs = (pose * std_q + mean_q).reshape(j, 4)
-        with host_device():
-            local = np.asarray(fk.from_root_quat(rs, self.skeleton))
-        np.copyto(out_pose, local.reshape(j, 4))
+        self._state, local, global_pos = self._engine.step_realtime(
+            self._state, tpos, trot)
+        local, global_pos = jax.device_get((local, global_pos))
+        np.copyto(out_pose, np.asarray(local).reshape(j, 4))
         out_global_pos[0, :] = np.asarray(global_pos)
