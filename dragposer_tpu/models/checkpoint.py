@@ -70,6 +70,52 @@ def load(path: str) -> Tuple[Any, Dict[str, Any]]:
     return _unflatten(params_flat), (_unflatten(extra_flat) if extra_flat else {})
 
 
+def save_training_state(path: str, params: Any, opt_state: Any,
+                        extra: Dict[str, Any] | None = None) -> None:
+    """Full resume checkpoint: params + optimizer state + scalars.
+
+    Fixes the reference's resume shock (``train.py:285-319`` saves params
+    only, so ``--load`` restarts Adam's moments from zero and the loss
+    spikes for many epochs).  ``opt_state`` is stored as ordered tree
+    leaves; :func:`load_training_state` restores it into a freshly
+    ``optimizer.init``-ed structure."""
+    import jax
+
+    flat: Dict[str, np.ndarray] = {}
+    _flatten(params, "params/", flat)
+    if extra:
+        _flatten(extra, "extra/", flat)
+    for i, leaf in enumerate(jax.tree.leaves(opt_state)):
+        flat[f"opt/{i:05d}"] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_training_state(path: str, opt_state_template: Any):
+    """Returns (params, opt_state, extra); ``opt_state_template`` is a fresh
+    ``optimizer.init(params)`` providing the pytree structure."""
+    import jax
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    params = _unflatten({k[len("params/"):]: v for k, v in flat.items()
+                         if k.startswith("params/")})
+    extra_flat = {k[len("extra/"):]: v for k, v in flat.items()
+                  if k.startswith("extra/")}
+    opt_keys = sorted(k for k in flat if k.startswith("opt/"))
+    treedef = jax.tree.structure(opt_state_template)
+    template_leaves = jax.tree.leaves(opt_state_template)
+    assert len(opt_keys) == len(template_leaves), (
+        f"optimizer state mismatch: checkpoint has {len(opt_keys)} leaves, "
+        f"optimizer expects {len(template_leaves)}")
+    leaves = [np.asarray(flat[k], dtype=l.dtype)
+              for k, l in zip(opt_keys, template_leaves)]
+    opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, (_unflatten(extra_flat) if extra_flat else {})
+
+
 def save_hparams(model_dir: str, param: Dict) -> None:
     os.makedirs(model_dir, exist_ok=True)
     with open(os.path.join(model_dir, "parameters.json"), "w") as f:

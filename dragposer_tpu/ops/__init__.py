@@ -13,7 +13,10 @@ def host_device():
     import jax
 
     try:
-        return jax.default_device(jax.devices("cpu")[0])
+        # local_devices, NOT devices: in a multi-process (DCN) run
+        # jax.devices("cpu")[0] belongs to process 0, and pinning another
+        # process's eager math to it yields non-addressable arrays
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
     except RuntimeError:
         return contextlib.nullcontext()
 

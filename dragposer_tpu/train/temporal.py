@@ -187,14 +187,25 @@ def train(
     tparams = tmodel.init_params(init_key, param)
 
     resume_best = None
+    resume_state = None
+    last_path = os.path.join(model_dir, "temporal.last.npz")
     if load:
-        tparams, extra = checkpoint.load(os.path.join(model_dir, "temporal.npz"))
+        if os.path.exists(last_path):
+            # exact resume: params + Adam moments + RNG chain + best bar —
+            # no resume shock (the reference reloads params only and Adam
+            # restarts cold, train.py:285-319)
+            resume_state = last_path
+            tparams, extra = checkpoint.load(os.path.join(model_dir,
+                                                          "temporal.npz"))
+        else:
+            tparams, extra = checkpoint.load(os.path.join(model_dir,
+                                                          "temporal.npz"))
+            resume_best = True  # re-establish the bar before overwriting
+            # (the reference resets best_evaluation to inf after loading,
+            # train_temporal.py:176, so a resumed run can overwrite a better
+            # checkpoint with a worse one — deliberately fixed here)
         means_latent = jnp.asarray(extra["means_latent"])
         stds_latent = jnp.asarray(extra["stds_latent"])
-        resume_best = True  # re-establish the bar before overwriting
-        # (the reference resets best_evaluation to inf after loading,
-        # train_temporal.py:176, so a resumed run can overwrite a better
-        # checkpoint with a worse one — deliberately fixed here)
     else:
         log(f"computing latent stats over {data.dqs_past.shape[0]} windows ...")
         ml, sl = compute_latent_stats(vae_params, statics, stats_key, data)
@@ -213,6 +224,15 @@ def train(
     n = data.dqs_past.shape[0]
     bs = min(param["batch_size"], n)
     best = float("inf")
+    start_epoch = 0
+    if resume_state:
+        tparams, opt_state, rextra = checkpoint.load_training_state(
+            resume_state, opt_state)
+        best = float(rextra["best"])
+        start_epoch = int(rextra["epoch"]) + 1
+        key = jnp.asarray(rextra["rng_key"])
+        log(f"exact resume from {resume_state}: epoch {start_epoch}, "
+            f"best {best:.4f}")
     if resume_best:
         key, bk = jax.random.split(key)
         best = evaluate(eval_step, tparams, bk, eval_data, means_latent,
@@ -221,7 +241,7 @@ def train(
         log(f"resumed; previous checkpoint eval loss: {best:.4f}")
     n_epochs = epochs if epochs is not None else param["epochs"]
     start = time.time()
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         key, shuffle_key = jax.random.split(key)
         order = np.asarray(jax.random.permutation(shuffle_key, n))
         epoch_loss, count = 0.0, 0
@@ -251,6 +271,16 @@ def train(
                 extra={"means_latent": np.asarray(means_latent),
                        "stds_latent": np.asarray(stds_latent)},
             )
+        # full training state for exact resume (params + Adam moments +
+        # RNG chain + best bar); "best" checkpoint above stays params-only
+        checkpoint.save_training_state(
+            os.path.join(model_dir, "temporal.last.npz"), tparams, opt_state,
+            extra={"means_latent": np.asarray(means_latent),
+                   "stds_latent": np.asarray(stds_latent),
+                   "epoch": np.asarray(epoch),
+                   "best": np.asarray(best),
+                   "rng_key": np.asarray(key)},
+        )
         log(
             f"Epoch: {epoch} // Train Loss: {epoch_loss / max(count, 1):.4f} // "
             f"Eval Loss: {eval_loss:.4f} // "

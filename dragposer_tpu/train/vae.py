@@ -212,10 +212,14 @@ def train(
     params = vae.init_params(init_key, skeleton.parents, param)
     statics = vae.build_statics(skeleton.parents, param)
 
+    resume_state = None
+    last_path = os.path.join(model_dir, "generator.last.npz")
     if load:
         params, extra = checkpoint.load(os.path.join(model_dir, "generator.npz"))
         means, stds = extra["means"], extra["stds"]
         data = datasets.build_vae_dataset(train_motions, param, means, stds)
+        if os.path.exists(last_path):
+            resume_state = last_path  # exact resume (Adam moments + RNG)
 
     optimizer = make_optimizer(param)
     opt_state = optimizer.init(params)
@@ -230,7 +234,16 @@ def train(
     n_pairs = data.n_pairs
     bs = param["batch_size"]
     best = float("inf")
-    if load:
+    start_epoch = 0
+    if resume_state:
+        params, opt_state, rextra = checkpoint.load_training_state(
+            resume_state, opt_state)
+        best = float(rextra["best"])
+        start_epoch = int(rextra["epoch"]) + 1
+        key = jnp.asarray(rextra["rng_key"])
+        log(f"exact resume from {resume_state}: epoch {start_epoch}, "
+            f"best {best:.4f}")
+    elif load:
         mpjpe, mpeepe = evaluate_generator(params, reconstruct, key,
                                            eval_motions, eval_bvhs, skeleton,
                                            means, stds)
@@ -239,7 +252,7 @@ def train(
     n_epochs = epochs if epochs is not None else param["epochs"]
     log(f"training: {n_pairs} window pairs, batch {bs}")
     start = time.time()
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         key, epoch_key = jax.random.split(key)
         order = np.asarray(jax.random.permutation(epoch_key, n_pairs))
         step_keys = jax.random.split(epoch_key, (n_pairs + bs - 1) // bs)
@@ -275,6 +288,12 @@ def train(
                 extra={"means": means, "stds": stds},
             )
             checkpoint.save_hparams(model_dir, param)
+        checkpoint.save_training_state(
+            last_path, params, opt_state,
+            extra={"means": means, "stds": stds,
+                   "epoch": np.asarray(epoch), "best": np.asarray(best),
+                   "rng_key": np.asarray(key)},
+        )
         terms_str = " // ".join(
             f"{k}: {v / n_batches:.4f}" for k, v in epoch_terms.items()
         )
