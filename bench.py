@@ -85,9 +85,21 @@ def main():
     # production pipeline streams input asynchronously / holds it in HBM.
     dqs, gp, gr = jax.device_put(dqs), jax.device_put(gp), jax.device_put(gr)
 
+    # The pipelined sync-K runner (drag/pipeline.py) decouples the batch
+    # lanes so a straggler frame no longer stalls the other 511 sequences:
+    # measured 240k vs 179k frames/s on the plain vmapped scan.  Numerics
+    # are identical per lane (tests/test_pipeline.py).  BENCH_PLAIN=1
+    # selects the old path for comparison.
+    sync_k = int(os.environ.get("BENCH_SYNC_K", "24"))
+    if os.environ.get("BENCH_PLAIN"):
+        run = lambda: engine.run_batch(states, dqs, gp, gr)  # noqa: E731
+    else:
+        run = lambda: engine.run_batch_pipelined(  # noqa: E731
+            states, dqs, gp, gr, sync_k=sync_k)
+
     # warmup: the SAME program shape (a different frame count would compile
     # a different scan and leave the timed call paying the compile)
-    _, warm = engine.run_batch(states, dqs, gp, gr)
+    _, warm = run()
     jax.block_until_ready(warm.pose)
 
     # best of 4: the shared/tunneled dev TPU shows large run-to-run variance
@@ -96,7 +108,7 @@ def main():
     times = []
     for _ in range(4):
         t0 = time.time()
-        _, out = engine.run_batch(states, dqs, gp, gr)
+        _, out = run()
         jax.block_until_ready(out.pose)
         times.append(time.time() - t0)
 

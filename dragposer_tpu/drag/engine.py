@@ -345,42 +345,46 @@ class _OptCarry(NamedTuple):
     aux: _LossAux
 
 
-def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
+def _opt_cond(c: _OptCarry, hyper: DragHyper):
+    """The reference stop rule on the *previous* iteration's values
+    (``drag_pose.py:300-304``)."""
+    return (
+        ((c.loss_pos > hyper.stop_eps_pos) | (c.loss_rot > hyper.stop_eps_rot))
+        & (c.t < hyper.max_iter)
+        & (c.loss_incr > hyper.min_loss_incr)
+    )
+
+
+def _opt_body(c: _OptCarry, model, statics, skeleton, hyper: DragHyper,
               global_pos, global_rot, target_ee_pos, target_ee_rot,
-              target_latent):
+              target_latent) -> _OptCarry:
+    """One Adam iteration on the latent (loss + grad + update)."""
     loss_grad = jax.value_and_grad(_drag_loss, has_aux=True)
+    (total, aux), g = loss_grad(
+        c.latent, model, statics, skeleton, hyper, global_pos,
+        global_rot, target_ee_pos, target_ee_rot, target_latent,
+    )
+    t = c.t + 1
+    m = _ADAM_B1 * c.m + (1.0 - _ADAM_B1) * g
+    v = _ADAM_B2 * c.v + (1.0 - _ADAM_B2) * g * g
+    tf = t.astype(jnp.float32)
+    m_hat = m / (1.0 - _ADAM_B1 ** tf)
+    v_hat = v / (1.0 - _ADAM_B2 ** tf)
+    latent = c.latent - hyper.learning_rate * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
+    return _OptCarry(
+        latent=latent, m=m, v=v, t=t,
+        prev_loss=total,
+        loss_pos=aux.loss_pos,
+        loss_rot=aux.loss_rot,
+        loss_incr=c.prev_loss - total,
+        decoded_latent=c.latent,
+        aux=aux,
+    )
 
-    def cond(c: _OptCarry):
-        return (
-            ((c.loss_pos > hyper.stop_eps_pos) | (c.loss_rot > hyper.stop_eps_rot))
-            & (c.t < hyper.max_iter)
-            & (c.loss_incr > hyper.min_loss_incr)
-        )
 
-    def body(c: _OptCarry):
-        (total, aux), g = loss_grad(
-            c.latent, model, statics, skeleton, hyper, global_pos,
-            global_rot, target_ee_pos, target_ee_rot, target_latent,
-        )
-        t = c.t + 1
-        m = _ADAM_B1 * c.m + (1.0 - _ADAM_B1) * g
-        v = _ADAM_B2 * c.v + (1.0 - _ADAM_B2) * g * g
-        tf = t.astype(jnp.float32)
-        m_hat = m / (1.0 - _ADAM_B1 ** tf)
-        v_hat = v / (1.0 - _ADAM_B2 ** tf)
-        latent = c.latent - hyper.learning_rate * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
-        return _OptCarry(
-            latent=latent, m=m, v=v, t=t,
-            prev_loss=total,
-            loss_pos=aux.loss_pos,
-            loss_rot=aux.loss_rot,
-            loss_incr=c.prev_loss - total,
-            decoded_latent=c.latent,
-            aux=aux,
-        )
-
-    j = skeleton.n_joints
-    init = _OptCarry(
+def _opt_init(latent0, n_joints: int) -> _OptCarry:
+    """Fresh Adam state for one frame (reference ``drag_pose.py:218``)."""
+    return _OptCarry(
         latent=latent0,
         m=jnp.zeros_like(latent0),
         v=jnp.zeros_like(latent0),
@@ -396,10 +400,24 @@ def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
             world_displacement=jnp.zeros(3),
             displacement=jnp.zeros(3),
             world_rotation=jnp.zeros(4).at[0].set(1.0),
-            positions=jnp.zeros((j, 3)),
-            pose=jnp.zeros(j * 4),
+            positions=jnp.zeros((n_joints, 3)),
+            pose=jnp.zeros(n_joints * 4),
         ),
     )
+
+
+def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
+              global_pos, global_rot, target_ee_pos, target_ee_rot,
+              target_latent):
+    def cond(c):
+        return _opt_cond(c, hyper)
+
+    def body(c):
+        return _opt_body(c, model, statics, skeleton, hyper, global_pos,
+                         global_rot, target_ee_pos, target_ee_rot,
+                         target_latent)
+
+    init = _opt_init(latent0, skeleton.n_joints)
     return jax.lax.while_loop(cond, body, init)
 
 
@@ -407,27 +425,12 @@ def _optimize(latent0, model, statics, skeleton, hyper: DragHyper,
 # One frame
 # ---------------------------------------------------------------------------
 
-def frame_step(
-    model: DragModel,
-    statics: vae.VAEStatics,
-    skeleton: Skeleton,
-    hyper: DragHyper,
-    tparam,
-    state: DragState,
-    target_ee_pos: jnp.ndarray,   # (J, 3), garbage at inactive joints
-    target_ee_rot: jnp.ndarray,   # (J, 3, 3)
-    batched: bool = False,
-) -> Tuple[DragState, FrameOutput]:
-    """One frame of drag optimization (reference ``DragPose.run``).
-
-    ``batched=True`` marks a call that will run under ``vmap``: the rollout
-    gate becomes compute+select instead of ``lax.cond`` — under a batched
-    predicate both cond branches execute anyway, and cond batching
-    instantiates the model weights along the batch, which demotes the
-    transformer matmuls to per-sequence GEMVs (VPU loops, measured 8×)."""
-    mean_q, std_q = _quat_stats(model)
-
-    # --- temporal rollout every `window` frames (cond avoids the cost when idle)
+def _begin_frame(model: DragModel, hyper: DragHyper, tparam,
+                 state: DragState, batched: bool = False):
+    """Start-of-frame work: the temporal rollout gate and the frame's
+    temporal target (reference ``DragPose.run`` preamble,
+    ``drag_pose.py:256-295``).  Returns ``(target_buffer, target_latent)``.
+    """
     if hyper.use_temporal:
         if batched or hyper.temporal_future_window == 0:
             new_buffer = _temporal_rollout(model, hyper, tparam, state)
@@ -445,12 +448,16 @@ def frame_step(
     else:
         target_buffer = state.target_buffer
         target_latent = jnp.zeros_like(state.latent)
+    return target_buffer, target_latent
 
-    # --- latent optimization
-    final = _optimize(
-        state.latent, model, statics, skeleton, hyper, state.global_pos,
-        state.global_rot, target_ee_pos, target_ee_rot, target_latent,
-    )
+
+def _finish_frame(model: DragModel, hyper: DragHyper, state: DragState,
+                  final: _OptCarry, target_buffer: jnp.ndarray,
+                  target_ee_pos: jnp.ndarray) -> Tuple[DragState, FrameOutput]:
+    """End-of-frame work: global-transform advance, joint adjustment, ring
+    buffers, output pose (reference ``DragPose.run`` postamble,
+    ``drag_pose.py:306-395``)."""
+    mean_q, std_q = _quat_stats(model)
     aux = final.aux
 
     # --- advance global transform
@@ -496,6 +503,34 @@ def frame_step(
         pose=pose_out, global_pos=global_pos, iterations=final.t,
         loss_pos=final.loss_pos, loss_rot=final.loss_rot,
     )
+
+
+def frame_step(
+    model: DragModel,
+    statics: vae.VAEStatics,
+    skeleton: Skeleton,
+    hyper: DragHyper,
+    tparam,
+    state: DragState,
+    target_ee_pos: jnp.ndarray,   # (J, 3), garbage at inactive joints
+    target_ee_rot: jnp.ndarray,   # (J, 3, 3)
+    batched: bool = False,
+) -> Tuple[DragState, FrameOutput]:
+    """One frame of drag optimization (reference ``DragPose.run``).
+
+    ``batched=True`` marks a call that will run under ``vmap``: the rollout
+    gate becomes compute+select instead of ``lax.cond`` — under a batched
+    predicate both cond branches execute anyway, and cond batching
+    instantiates the model weights along the batch, which demotes the
+    transformer matmuls to per-sequence GEMVs (VPU loops, measured 8×)."""
+    target_buffer, target_latent = _begin_frame(model, hyper, tparam, state,
+                                                batched=batched)
+    final = _optimize(
+        state.latent, model, statics, skeleton, hyper, state.global_pos,
+        state.global_rot, target_ee_pos, target_ee_rot, target_latent,
+    )
+    return _finish_frame(model, hyper, state, final, target_buffer,
+                         target_ee_pos)
 
 
 # ---------------------------------------------------------------------------
@@ -600,6 +635,7 @@ class DragEngine:
         self._run_batch = jax.jit(
             jax.vmap(_run_b, in_axes=(None, 0, 0, 0, 0))
         )
+        self._run_pipelined = {}  # sync_k -> jitted pipelined runner
 
     def init_state(self, key, initial_pose, initial_global_pos,
                    initial_global_rot, initial_heights) -> DragState:
@@ -620,3 +656,19 @@ class DragEngine:
 
     def run_batch(self, states, dqs_norm, gt_pos, gt_rot):
         return self._run_batch(self.model, states, dqs_norm, gt_pos, gt_rot)
+
+    def run_batch_pipelined(self, states, dqs_norm, gt_pos, gt_rot,
+                            sync_k: int = 24):
+        """``run_batch`` with the sync-every-K pipelined loop (identical
+        per-lane numerics, ~2× at batch 512; see ``drag/pipeline.py``)."""
+        from dragposer_tpu.drag import pipeline
+
+        if sync_k not in self._run_pipelined:
+            def _run_p(model, state, dqs, gp, gr):
+                return pipeline.run_batch_pipelined(
+                    model, self.statics, self.skeleton, self.hyper,
+                    self.tparam, state, dqs, gp, gr, sync_k=sync_k,
+                )
+            self._run_pipelined[sync_k] = jax.jit(_run_p)
+        return self._run_pipelined[sync_k](self.model, states, dqs_norm,
+                                           gt_pos, gt_rot)
