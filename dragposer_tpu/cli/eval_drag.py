@@ -214,7 +214,10 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), jnp.asarray(h0))
 
     start = time.time()
-    _, out = engine.run_batch(states, dqs, gp, gr)
+    # pipelined runner: lanes advance through their own frames and halt at
+    # their true length — ragged directory batches don't reconstruct padding
+    _, out = engine.run_batch_pipelined(states, dqs, gp, gr,
+                                        lengths=np.asarray(lengths))
     poses, global_pos, iters = out.pose, out.global_pos, out.iterations
     poses = np.asarray(poses)
     global_pos = np.asarray(global_pos)

@@ -76,13 +76,21 @@ def _write_rows(tree, frame, done, vals, T):
 
 def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
                         tparam, states: eng.DragState, dqs_norm, gt_pos,
-                        gt_rot, sync_k: int = 24):
+                        gt_rot, sync_k: int = 24, lengths=None):
     """Drop-in replacement for ``vmap(run_sequence)``: same inputs
     (``states`` batched, ``dqs_norm`` (B, T, J*8), ``gt_pos`` (B, T, 3),
     ``gt_rot`` (B, T, 4)), same outputs (final states, FrameOutput stacked
-    (B, T, ...)), ~2× faster at batch 512 by not paying the per-frame batch
-    max of the Adam while-loop."""
+    (B, T, ...)), faster at large batch by not paying the per-frame batch
+    max of the Adam while-loop.
+
+    ``lengths`` (B,) optionally gives each lane's true frame count: lanes
+    halt at their own length, so ragged directory batches stop paying for
+    padding (the plain ``run_batch`` reconstructs the repeated-last-frame
+    tail like any other frames).  Outputs at and beyond a lane's length are
+    zeros; real-frame numerics are unchanged."""
     B, T = dqs_norm.shape[0], dqs_norm.shape[1]
+    limit = jnp.full((B,), T, jnp.int32) if lengths is None \
+        else jnp.minimum(jnp.asarray(lengths, jnp.int32), T)
     n_joints = skeleton.n_joints
 
     def begin_all(state_b):
@@ -134,11 +142,11 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
     # Global loop: K masked Adam steps, then a sync point.
     # ------------------------------------------------------------------
     def cond(c: _PipeCarry):
-        return jnp.any(c.frame < T)
+        return jnp.any(c.frame < limit)
 
     def body(c: _PipeCarry):
         def istep(opt, _):
-            active = opt_cond_b(opt) & (c.frame < T)
+            active = opt_cond_b(opt) & (c.frame < limit)
             new = opt_body_b(opt, c.state, c.tpos, c.trot, c.target_latent)
             return _select(active, new, opt), None
 
@@ -146,7 +154,7 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
                               unroll=min(sync_k, 4))
 
         # Lanes whose stop rule now holds have FINISHED frame c.frame.
-        done = (~opt_cond_b(opt)) & (c.frame < T)
+        done = (~opt_cond_b(opt)) & (c.frame < limit)
 
         new_state, out = finish_b(c.state, opt, c.target_buffer, c.tpos)
         state = _select(done, new_state, c.state)

@@ -73,6 +73,28 @@ def test_pipelined_matches_run_batch_no_temporal(example_bvh_path, sync_k):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pipelined_ragged_lengths(example_bvh_path):
+    """With per-lane ``lengths``, each lane's real frames must equal the
+    single-sequence trajectory of that length; padded tail outputs are
+    zeros and never computed."""
+    import jax
+
+    engine, states, dqs, gp, gr = _build(example_bvh_path, False, "6_trackers")
+    lengths = np.array([30, 12, 20, 5], dtype=np.int32)
+    _, out = engine.run_batch_pipelined(states, dqs, gp, gr, sync_k=8,
+                                        lengths=lengths)
+    for i, L in enumerate(lengths):
+        s_i = jax.tree.map(lambda a: a[i], states)
+        _, ref = engine.run(s_i, dqs[i, :L], gp[i, :L], gr[i, :L])
+        np.testing.assert_array_equal(np.asarray(out.iterations)[i, :L],
+                                      np.asarray(ref.iterations))
+        np.testing.assert_allclose(np.asarray(out.pose)[i, :L],
+                                   np.asarray(ref.pose), rtol=1e-3, atol=5e-3)
+        # padded tail untouched
+        assert (np.asarray(out.iterations)[i, L:] == 0).all()
+        np.testing.assert_array_equal(np.asarray(out.pose)[i, L:], 0.0)
+
+
 def test_pipelined_matches_run_batch_temporal_window0(example_bvh_path):
     """Rollout-every-frame path (6-tracker config, window 0)."""
     engine, states, dqs, gp, gr = _build(example_bvh_path, True, "6_trackers",
