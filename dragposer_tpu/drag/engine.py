@@ -270,16 +270,19 @@ def _drag_loss(latent, model: DragModel, statics, skeleton: Skeleton,
     """Reference ``DragPose.loss`` (``drag_pose.py:66-194``), dense-masked."""
     mean_q, std_q = _quat_stats(model)
     if isinstance(model.decoder, dict) and "ws" in model.decoder:
-        # folded inference decoder (3 matmuls; see vae.fold_decoder)
-        pose_n, disp_n = vae.decode_folded(
-            model.decoder, latent[None], model.mean_dqs, model.std_dqs
+        # folded inference decoder, flat layout (3 matmuls on (B, C)-shaped
+        # arrays under vmap — the conv (1, C, 1) layout would leave the TPU
+        # lane dimension at 1 through the whole hot loop)
+        pose_n, disp_n = vae.decode_folded_flat(
+            model.decoder, latent, model.mean_dqs, model.std_dqs
         )
     else:
         pose_n, disp_n = vae.decode(
             model.decoder, statics, latent[None], model.mean_dqs, model.std_dqs
         )
-    pose_n = pose_n[0, :, 0]
-    disp = disp_n[0, :, 0] * model.std_disp + model.mean_disp
+        pose_n = pose_n[0, :, 0]
+        disp_n = disp_n[0, :, 0]
+    disp = disp_n * model.std_disp + model.mean_disp
     qs = (pose_n * std_q + mean_q).reshape(-1, 4)
 
     world_rotation = quat.mul(global_rot, qs[0])      # incremental → world

@@ -262,6 +262,34 @@ def decode_folded(folded, z, mean_dqs, std_dqs):
     return motion, displacement
 
 
+def decode_folded_flat(folded, z, mean_dqs, std_dqs):
+    """Per-lane inference decode without the legacy (1, C, 1) conv layout.
+
+    Same math as :func:`decode_folded` on ``z[None]`` (identical op order,
+    including the per-quat normalize) but flat shapes: ``z`` (L,) →
+    ``(pose_n (J*4,), displacement (3,))``.  Under vmap the drag iteration
+    then computes on (B, 88) arrays whose minor (lane) dimension is 88,
+    instead of (B, 1, 92, 1) whose lane dimension is 1 — the trailing
+    singleton time axis of the conv layout wastes 127/128 of every TPU
+    vector register in the hot optimization loop."""
+    cpj = CHANNELS_PER_JOINT
+    h = z
+    for l in range(N_LAYERS):
+        h = jnp.einsum("...i,oi->...o", h, folded["ws"][l],
+                       precision="highest") + folded["bs"][l]
+        if l != N_LAYERS - 1:
+            h = nn.leaky_relu(h)
+    motion = h[..., : -cpj]                           # (..., J*4)
+    displacement = h[..., -cpj : -cpj + 3]            # (..., 3)
+
+    mean_q = mean_dqs.reshape(-1, 8)[:, :cpj].reshape(-1)
+    std_q = std_dqs.reshape(-1, 8)[:, :cpj].reshape(-1)
+    x = motion * std_q + mean_q
+    q = quat.normalize(x.reshape(x.shape[:-1] + (-1, cpj)))
+    x = q.reshape(x.shape)
+    return (x - mean_q) / std_q, displacement
+
+
 def forward(params, statics: VAEStatics, key, x, mean_dqs, std_dqs):
     """Full VAE pass.  x: (B, J*8, T) → (motion, displacement, mu, logvar, z)."""
     mu, logvar = encode(params["encoder"], statics, x)
