@@ -79,6 +79,52 @@ def test_sharded_run_batch_matches_unsharded(mesh8, example_bvh_path):
                                   np.asarray(plain.iterations))
 
 
+def test_sharded_pipelined_matches_unsharded(mesh8, example_bvh_path):
+    """The sync-K pipelined runner must produce identical results when the
+    batch is sharded over the data axis (the global any(frame<limit) loop
+    condition becomes an all-reduce XLA inserts automatically)."""
+    import jax
+
+    from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
+    from dragposer_tpu.drag import engine as eng
+
+    bvh = BVH().load(example_bvh_path)
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    sk = Skeleton.build(parents, offsets, bvh.names)
+    engine, means, stds = build_engine(
+        REFERENCE_MODEL, parents, resolve_config("6_trackers"),
+        use_temporal=False, skeleton=sk, max_iter=8,
+    )
+    m = encoding.encode_motion(offsets, pos[2000:2010, 0, :], rots[2000:2010],
+                               sk, height_indices=HEIGHT_INDICES)
+    n = encoding.normalize(m, means, stds)
+
+    b = 8
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    import jax.numpy as jnp
+
+    dqs = np.stack([np.roll(n.dqs, -i, axis=0) for i in range(b)])
+    gp = np.stack([np.roll(n.global_pos, -i, axis=0) for i in range(b)])
+    gr = np.stack([np.roll(n.global_rot, -i, axis=0) for i in range(b)])
+    h0 = jnp.tile(jnp.asarray(m.heights[0])[None], (b, 1))
+    states = jax.vmap(
+        lambda k, d, g, r, h: eng.init_state(
+            engine.model, engine.statics, engine.hyper, k,
+            d[0][:, None], g[0], r[0], h,
+        )
+    )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), h0)
+
+    _, plain = engine.run_batch_pipelined(states, dqs, gp, gr, sync_k=8)
+    s_states = meshlib.shard_batch(states, mesh8)
+    s_dqs, s_gp, s_gr = meshlib.shard_batch((dqs, gp, gr), mesh8)
+    _, sharded = engine.run_batch_pipelined(s_states, s_dqs, s_gp, s_gr,
+                                            sync_k=8)
+    np.testing.assert_allclose(np.asarray(sharded.pose),
+                               np.asarray(plain.pose), rtol=1e-3, atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(sharded.iterations),
+                                  np.asarray(plain.iterations))
+
+
 def test_temporal_param_sharding_layout(mesh8):
     import jax
 
