@@ -21,7 +21,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/dragposer_jax_cache")
+# The persistent cache dir must be keyed by environment: the axon
+# sitecustomize hook builds CPU executables with different target-machine
+# features (+prefer-no-scatter, …) than a scrubbed environment, and XLA
+# happily LOADS the mismatched AOT entry and computes garbage (observed:
+# poses off by 1e3 in tests that pass in either environment alone).
+_env_tag = "axoncpu" if os.environ.get("PALLAS_AXON_POOL_IPS") else "cpu"
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/dragposer_jax_cache_test_{_env_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,113 @@
+"""Serving-daemon round trip: daemon + thin native client library.
+
+Starts ``dragposer_tpu.runtime.server`` (CPU), then drives the SAME smoke
+lifecycle as ``test_native_abi`` through ``dragposer_smoke_client`` — the
+binary linked against the interpreter-free socket client library.  Also
+checks protocol-level behaviors (error reporting, orphan-handle cleanup)
+with a raw Python client.
+"""
+
+import os
+import socket
+import struct
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+SMOKE = os.path.join(REPO, "build", "dragposer_smoke_client")
+MODEL = os.path.join(REPO, "models", "model_scratch_example")
+SKELETON = "/root/reference/python/data/example/eval/example.bvh"
+
+
+@pytest.fixture(scope="module")
+def daemon(tmp_path_factory):
+    sock_path = str(tmp_path_factory.mktemp("sock") / "dragposer.sock")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dragposer_tpu.runtime.server",
+         "--socket", sock_path, "--ready-fd", str(w)],
+        env=env, cwd=REPO, pass_fds=(w,),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    os.close(w)
+    # wait for the ready byte (jax import can take a while on this host)
+    ready = os.read(r, 1)
+    os.close(r)
+    assert ready, proc.stderr.read().decode()[-2000:] if proc.poll() else ""
+    yield sock_path, proc
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def _call(sock, op, payload=b""):
+    frame = struct.pack("<IB", len(payload) + 1, op) + payload
+    sock.sendall(frame)
+    hdr = b""
+    while len(hdr) < 5:
+        hdr += sock.recv(5 - len(hdr))
+    (length,), status = struct.unpack("<I", hdr[:4]), hdr[4]
+    body = b""
+    while len(body) < length - 1:
+        body += sock.recv(length - 1 - len(body))
+    return status, body
+
+
+def test_daemon_smoke_lifecycle(daemon):
+    """The reference DLL call sequence through the socket client library."""
+    sock_path, _ = daemon
+    env = dict(os.environ)
+    env["DRAGPOSER_SOCKET"] = sock_path
+    env["DRAGPOSER_NO_SPAWN"] = "1"  # must use the fixture's daemon
+    out = subprocess.run(
+        [SMOKE, MODEL, SKELETON, "2"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=REPO,
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    assert "smoke OK" in out.stdout
+    assert out.stdout.count("end effectors: 6") == 2
+
+
+def test_daemon_reports_errors_without_dying(daemon):
+    sock_path, proc = daemon
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(sock_path)
+    # bogus opcode → error status, daemon stays alive
+    status, body = _call(s, 99, struct.pack("<q", 0))
+    assert status == 1 and b"unknown opcode" in body
+    # unknown handle → error status (KeyError), daemon stays alive
+    status, body = _call(s, 4, struct.pack("<q", 424242) + b"/nonexistent")
+    assert status == 1
+    status, _ = _call(s, 0)  # ping still works
+    assert status == 0
+    assert proc.poll() is None
+    s.close()
+
+
+def test_daemon_cleans_up_disconnected_handles(daemon):
+    sock_path, _ = daemon
+    s1 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s1.connect(sock_path)
+    status, body = _call(s1, 1)  # INIT
+    assert status == 0
+    (h1,) = struct.unpack("<q", body)
+    s1.close()  # crash-like disconnect: daemon must destroy h1
+
+    time.sleep(0.5)
+    s2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s2.connect(sock_path)
+    # the stale handle must be gone (load_models on it errors)
+    status, _ = _call(s2, 4, struct.pack("<q", h1) + b"/nonexistent")
+    assert status == 1
+    s2.close()
+
+
+@pytest.fixture(autouse=True)
+def _require_build():
+    if not os.path.exists(SMOKE):
+        pytest.skip("native client not built (cmake -S native -B build)")
