@@ -661,24 +661,28 @@ class DragEngine:
         return self._run_batch(self.model, states, dqs_norm, gt_pos, gt_rot)
 
     def run_batch_pipelined(self, states, dqs_norm, gt_pos, gt_rot,
-                            sync_k: int = 24, lengths=None):
-        """``run_batch`` with the sync-every-K pipelined loop (identical
-        per-lane numerics, 1.34× at batch 512; see ``drag/pipeline.py``).
-        ``lengths`` (B,) lets ragged batches halt per lane at their true
-        frame count instead of reconstructing padding."""
+                            sync_k: int = 24, lengths=None,
+                            fast: Optional[bool] = None):
+        """``run_batch`` with the sync-every-K pipelined loop (equivalent
+        per-lane behavior, measured bitwise-identical on TPU; see
+        ``drag/pipeline.py``).  ``lengths`` (B,) lets ragged batches halt
+        per lane at their true frame count instead of reconstructing
+        padding.  ``fast`` selects the batch-in-lanes inner loop
+        (``drag/fast_iter.py``; default: auto when eligible)."""
         from dragposer_tpu.drag import pipeline
 
-        if sync_k not in self._run_pipelined:
+        key = (sync_k, fast)
+        if key not in self._run_pipelined:
             def _run_p(model, state, dqs, gp, gr, lens):
                 return pipeline.run_batch_pipelined(
                     model, self.statics, self.skeleton, self.hyper,
                     self.tparam, state, dqs, gp, gr, sync_k=sync_k,
-                    lengths=lens,
+                    lengths=lens, fast=fast,
                 )
-            self._run_pipelined[sync_k] = jax.jit(_run_p)
+            self._run_pipelined[key] = jax.jit(_run_p)
         if lengths is None:
             lengths = jnp.full((dqs_norm.shape[0],), dqs_norm.shape[1],
                                jnp.int32)
-        return self._run_pipelined[sync_k](self.model, states, dqs_norm,
-                                           gt_pos, gt_rot,
-                                           jnp.asarray(lengths, jnp.int32))
+        return self._run_pipelined[key](self.model, states, dqs_norm,
+                                        gt_pos, gt_rot,
+                                        jnp.asarray(lengths, jnp.int32))

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from dragposer_tpu.drag import engine as eng
+from dragposer_tpu.drag import fast_iter
 
 
 class _PipeCarry(NamedTuple):
@@ -81,7 +82,8 @@ def _write_rows(tree, frame, done, vals, T):
 
 def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
                         tparam, states: eng.DragState, dqs_norm, gt_pos,
-                        gt_rot, sync_k: int = 24, lengths=None):
+                        gt_rot, sync_k: int = 24, lengths=None,
+                        fast: bool | None = None):
     """Drop-in replacement for ``vmap(run_sequence)``: same inputs
     (``states`` batched, ``dqs_norm`` (B, T, J*8), ``gt_pos`` (B, T, 3),
     ``gt_rot`` (B, T, 4)), same outputs (final states, FrameOutput stacked
@@ -97,6 +99,14 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
     limit = jnp.full((B,), T, jnp.int32) if lengths is None \
         else jnp.minimum(jnp.asarray(lengths, jnp.int32), T)
     n_joints = skeleton.n_joints
+
+    # Batch-in-lanes inner loop (drag/fast_iter.py, 3.1× per iteration)
+    # whenever its preconditions hold; the vmapped per-lane path remains for
+    # constraint bundles and unfolded decoders.
+    if fast is None:
+        fast = (not hyper.constraints
+                and isinstance(model.decoder, dict) and "ws" in model.decoder)
+    fast_ctx = fast_iter.make_context(model, skeleton, hyper) if fast else None
 
     def begin_all(state_b):
         return jax.vmap(
@@ -150,13 +160,21 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
         return jnp.any(c.frame < limit)
 
     def body(c: _PipeCarry):
-        def istep(opt, _):
-            active = opt_cond_b(opt) & (c.frame < limit)
-            new = opt_body_b(opt, c.state, c.tpos, c.trot, c.target_latent)
-            return _select(active, new, opt), None
+        lane_active = c.frame < limit
+        if fast:
+            opt = fast_iter.run_block(
+                fast_ctx, hyper, sync_k, c.opt, lane_active, c.state,
+                c.tpos, c.trot, c.target_latent, model, statics, skeleton,
+            )
+        else:
+            def istep(opt, _):
+                active = opt_cond_b(opt) & lane_active
+                new = opt_body_b(opt, c.state, c.tpos, c.trot,
+                                 c.target_latent)
+                return _select(active, new, opt), None
 
-        opt, _ = jax.lax.scan(istep, c.opt, None, length=sync_k,
-                              unroll=min(sync_k, 4))
+            opt, _ = jax.lax.scan(istep, c.opt, None, length=sync_k,
+                                  unroll=min(sync_k, 4))
 
         # Lanes whose stop rule now holds have FINISHED frame c.frame.
         done = (~opt_cond_b(opt)) & (c.frame < limit)
