@@ -1,7 +1,10 @@
-"""Isolate per-block cost of the pipelined loop's sync components.
+"""Isolate per-block cost of the pipelined loop's components (current
+structure: fast_iter inner loop + sync bookkeeping).
 
-Runs a FIXED number of blocks (scan instead of while) with pieces of the
-sync step stubbed out, timing each variant.  Numerics are irrelevant here.
+Runs a FIXED number of blocks (scan instead of while) with pieces stubbed
+out, timing each variant.  Numerics are irrelevant here.  NOTE: the
+tunneled dev TPU adds ~29 ms per invocation; at 40 blocks that inflates
+every number by ~0.7 ms/block — compare variants, not absolutes.
 """
 
 import os
@@ -12,10 +15,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "240"))
 BLOCKS = 40
-K = 24
+K = int(os.environ.get("BENCH_SYNC_K", "32"))
 
 
 def main():
@@ -28,6 +31,7 @@ def main():
     from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
     from dragposer_tpu.data import encoding
     from dragposer_tpu.drag import engine as eng
+    from dragposer_tpu.drag import fast_iter
     from dragposer_tpu.drag import pipeline as pl
     from dragposer_tpu.io.bvh import BVH
     from dragposer_tpu.ops.topology import Skeleton
@@ -62,6 +66,7 @@ def main():
                                      engine.hyper, engine.tparam)
     B, T = BATCH, FRAMES
     n_joints = skeleton.n_joints
+    ctx = fast_iter.make_context(model, skeleton, hyper)
 
     def make_runner(do_inner, do_begin, do_targets, do_finish, do_outs):
         def begin_all(state_b):
@@ -78,11 +83,6 @@ def main():
 
         opt_cond_b = jax.vmap(lambda c: eng._opt_cond(c, hyper))
         opt_init_b = jax.vmap(lambda lat: eng._opt_init(lat, n_joints))
-
-        def opt_body_b(opt, state_b, tpos, trot, tlat):
-            return jax.vmap(lambda c, g1, g2, tp, tr, tl: eng._opt_body(
-                c, model, statics, skeleton, hyper, g1, g2, tp, tr, tl)
-            )(opt, state_b.global_pos, state_b.global_rot, tpos, trot, tlat)
 
         def finish_b(state_b, opt, tbuf, tpos):
             return jax.vmap(lambda s, c, tb, tp: eng._finish_frame(
@@ -105,14 +105,13 @@ def main():
 
             def body(c, _):
                 opt = c.opt
+                lane_active = c.frame < T
                 if do_inner:
-                    def istep(o, _):
-                        active = opt_cond_b(o) & (c.frame < T)
-                        new = opt_body_b(o, c.state, c.tpos, c.trot,
-                                         c.target_latent)
-                        return pl._select(active, new, o), None
-                    opt, _ = jax.lax.scan(istep, opt, None, length=K)
-                done = (~opt_cond_b(opt)) & (c.frame < T)
+                    opt = fast_iter.run_block(
+                        ctx, hyper, K, opt, lane_active, c.state,
+                        c.tpos, c.trot, c.target_latent, model, statics,
+                        skeleton)
+                done = (~opt_cond_b(opt)) & lane_active
                 state = c.state
                 if do_finish:
                     new_state, out = finish_b(c.state, opt, c.target_buffer,
@@ -120,10 +119,8 @@ def main():
                     state = pl._select(done, new_state, c.state)
                 outs = c.outs
                 if do_outs and do_finish:
-                    f_cl = jnp.minimum(c.frame, T - 1)
-                    cur = pl._gather_rows(c.outs, f_cl)
-                    outs = pl._scatter_rows(c.outs, f_cl,
-                                            pl._select(done, out, cur))
+                    outs = pl._write_rows(c.outs, jnp.minimum(c.frame, T - 1),
+                                          done, out, T)
                 frame = c.frame + done.astype(jnp.int32)
                 f_next = jnp.minimum(frame, T - 1)
                 tbuf, tlat = c.target_buffer, c.target_latent
@@ -148,10 +145,10 @@ def main():
     variants = [
         ("full", (True, True, True, True, True)),
         ("no inner loop", (False, True, True, True, True)),
-        ("no outs scatter", (True, True, True, True, False)),
-        ("no targets", (True, True, False, True, True)),
         ("no begin(rollout)", (True, False, True, True, True)),
-        ("no finish", (True, True, True, False, False)),
+        ("no finish+outs", (True, True, True, False, False)),
+        ("no outs write", (True, True, True, True, False)),
+        ("no targets", (True, True, False, True, True)),
         ("inner only", (True, False, False, False, False)),
     ]
     for name, flags in variants:
