@@ -180,28 +180,42 @@ def _hold_index(window: int, step: int) -> np.ndarray:
     return idx.astype(np.int32)
 
 
-def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
-                      state: DragState) -> jnp.ndarray:
-    """Autoregressive prediction of the next ``window+1`` latents.
-
-    Returns the new target buffer (W+1, L), denormalized.
-    """
+def _rollout_inputs(state: DragState, hyper: DragHyper):
+    """Extract the predictor's inputs from the (P, ·)-shaped ring buffers."""
     past = np.asarray(hyper.past_frames)
-    step = hyper.sample_step
-    latent_dim = state.latent.shape[-1]
-
-    lat = state.latent_buffer[past][:-1]                       # (P-1, L)
-    lat = (lat - model.means_latent) / model.stds_latent
-    acc_idx = past[:-1, None] + np.arange(step)[None, :]       # static (P-1, S)
+    latp = state.latent_buffer[past]                           # (P, L)
+    acc_idx = past[:-1, None] + np.arange(hyper.sample_step)[None, :]
     disp_acc = state.displacement_buffer[acc_idx].sum(axis=1)  # (P-1, 3)
     heights = state.heights_buffer[past][:-1]                  # (P-1, H)
+    return latp[:-1], disp_acc, heights, latp[-1]
+
+
+def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
+                      state: DragState) -> jnp.ndarray:
+    lat, disp_acc, heights, token0 = _rollout_inputs(state, hyper)
+    return _temporal_rollout_core(model, hyper, tparam, lat, disp_acc,
+                                  heights, token0)
+
+
+def _temporal_rollout_core(model: DragModel, hyper: DragHyper, tparam,
+                           lat, disp_acc, heights, token0) -> jnp.ndarray:
+    """Autoregressive prediction of the next ``window+1`` latents.
+
+    ``lat``/``disp_acc``/``heights``: (P-1, ·) sampled buffer rows;
+    ``token0``: (L,) the newest sampled latent.  Returns the new target
+    buffer (W+1, L), denormalized.
+    """
+    step = hyper.sample_step
+    latent_dim = token0.shape[-1]
+
+    lat = (lat - model.means_latent) / model.stds_latent
     # NOTE: deliberately UNBATCHED (no [None]) — under run_batch's vmap a
     # singleton batch dim padded to a full sublane tile and made the
     # transformer ~8× slower; vmap adds the real batch dim itself.
     enc_in = jnp.concatenate((lat, disp_acc, heights), axis=-1)  # (P-1, 33)
 
     n_steps = hyper.temporal_future_window // step + 1
-    token0 = (state.latent_buffer[past][-1] - model.means_latent) / model.stds_latent
+    token0 = (token0 - model.means_latent) / model.stds_latent
     tokens0 = jnp.zeros((n_steps, latent_dim)).at[0].set(token0)
 
     def body(carry, k):
@@ -230,6 +244,51 @@ def _temporal_rollout(model: DragModel, hyper: DragHyper, tparam,
     (_, outs), _ = jax.lax.scan(body, (tokens0, outs0), jnp.arange(n_steps))
     outs = outs * model.stds_latent + model.means_latent
     return outs[jnp.asarray(_hold_index(hyper.temporal_future_window, step))]
+
+
+def _temporal_rollout_core_T(model: DragModel, hyper: DragHyper, tparam,
+                             lat, disp_acc, heights, token0) -> jnp.ndarray:
+    """Whole-batch transposed rollout: same semantics as vmapped
+    ``_temporal_rollout_core`` but runs ``temporal.forward_T`` with the
+    batch in the minor dimension (one transpose in, one out).
+
+    ``lat`` (B, P-1, L) raw buffer rows, ``disp_acc`` (B, P-1, 3),
+    ``heights`` (B, P-1, H), ``token0`` (B, L).  Returns (B, W+1, L)."""
+    step = hyper.sample_step
+    B, latent_dim = token0.shape
+
+    lat = (lat - model.means_latent) / model.stds_latent
+    enc_in = jnp.concatenate((lat, disp_acc, heights), axis=-1)
+    encT = jnp.moveaxis(enc_in, 0, -1)                    # (P-1, 33, B)
+
+    n_steps = hyper.temporal_future_window // step + 1
+    tok0 = ((token0 - model.means_latent) / model.stds_latent).T
+    tokens0 = jnp.zeros((n_steps, latent_dim, B)).at[0].set(tok0)
+
+    def body(carry, k):
+        tokens, outs = carry
+        mask = jnp.where(
+            jnp.arange(n_steps) <= k, 0.0, -jnp.inf
+        ).astype(jnp.float32)[None, :]
+        pred = temporal_model.forward_T(
+            model.temporal, tparam, encT, tokens, tgt_mask=mask
+        )                                                  # (n_steps, L, B)
+        out_k = jnp.take(pred, k, axis=0)
+        tokens = jax.lax.cond(
+            k + 1 < n_steps,
+            lambda t: t.at[jnp.minimum(k + 1, n_steps - 1)].set(out_k),
+            lambda t: t,
+            tokens,
+        )
+        outs = outs.at[k].set(out_k)
+        return (tokens, outs), None
+
+    outs0 = jnp.zeros((n_steps, latent_dim, B))
+    (_, outs), _ = jax.lax.scan(body, (tokens0, outs0), jnp.arange(n_steps))
+    outs = jnp.moveaxis(outs, -1, 0)                       # (B, n_steps, L)
+    outs = outs * model.stds_latent + model.means_latent
+    return outs[:, jnp.asarray(_hold_index(hyper.temporal_future_window,
+                                           step))]
 
 
 # ---------------------------------------------------------------------------
@@ -454,17 +513,18 @@ def _begin_frame(model: DragModel, hyper: DragHyper, tparam,
     return target_buffer, target_latent
 
 
-def _finish_frame(model: DragModel, hyper: DragHyper, state: DragState,
-                  final: _OptCarry, target_buffer: jnp.ndarray,
-                  target_ee_pos: jnp.ndarray) -> Tuple[DragState, FrameOutput]:
-    """End-of-frame work: global-transform advance, joint adjustment, ring
-    buffers, output pose (reference ``DragPose.run`` postamble,
-    ``drag_pose.py:306-395``)."""
+def _advance_core(model: DragModel, hyper: DragHyper, state_global_pos,
+                  state_current_index, final: _OptCarry, target_ee_pos):
+    """Buffer-layout-independent end-of-frame math: global-transform
+    advance, joint adjustment, heights row, output pose (reference
+    ``DragPose.run`` postamble, ``drag_pose.py:306-395``).
+
+    Returns ``(global_pos, global_rot, displacement, heights,
+    current_index, FrameOutput)`` — the caller shifts its ring buffers."""
     mean_q, std_q = _quat_stats(model)
     aux = final.aux
 
-    # --- advance global transform
-    global_pos = state.global_pos + aux.world_displacement
+    global_pos = state_global_pos + aux.world_displacement
     global_rot = aux.world_rotation
 
     displacement = aux.displacement
@@ -476,10 +536,29 @@ def _finish_frame(model: DragModel, hyper: DragHyper, state: DragState,
         global_pos = global_pos + adjustment
         displacement = displacement + adjustment  # world-space add, as reference
 
-    # --- ring buffers
     heights = (aux.positions + global_pos)[
         jnp.asarray(hyper.height_indices), 1
     ]
+    current_index = (
+        jnp.zeros((), jnp.int32)
+        if hyper.temporal_future_window == 0
+        else (state_current_index + 1) % hyper.temporal_future_window
+    )
+    pose_out = aux.pose.at[:4].set((global_rot - mean_q[:4]) / std_q[:4])
+    out = FrameOutput(
+        pose=pose_out, global_pos=global_pos, iterations=final.t,
+        loss_pos=final.loss_pos, loss_rot=final.loss_rot,
+    )
+    return global_pos, global_rot, displacement, heights, current_index, out
+
+
+def _finish_frame(model: DragModel, hyper: DragHyper, state: DragState,
+                  final: _OptCarry, target_buffer: jnp.ndarray,
+                  target_ee_pos: jnp.ndarray) -> Tuple[DragState, FrameOutput]:
+    """End-of-frame work on the (P, ·)-shaped ring-buffer state."""
+    global_pos, global_rot, displacement, heights, current_index, out = \
+        _advance_core(model, hyper, state.global_pos, state.current_index,
+                      final, target_ee_pos)
     new_state = DragState(
         latent=final.latent,
         global_pos=global_pos,
@@ -494,18 +573,9 @@ def _finish_frame(model: DragModel, hyper: DragHyper, state: DragState,
             (state.heights_buffer[1:], heights[None]), axis=0
         ),
         target_buffer=target_buffer,
-        current_index=(
-            jnp.zeros((), jnp.int32)
-            if hyper.temporal_future_window == 0
-            else (state.current_index + 1) % hyper.temporal_future_window
-        ),
+        current_index=current_index,
     )
-
-    pose_out = aux.pose.at[:4].set((global_rot - mean_q[:4]) / std_q[:4])
-    return new_state, FrameOutput(
-        pose=pose_out, global_pos=global_pos, iterations=final.t,
-        loss_pos=final.loss_pos, loss_rot=final.loss_rot,
-    )
+    return new_state, out
 
 
 def frame_step(

@@ -43,15 +43,120 @@ from dragposer_tpu.drag import engine as eng
 from dragposer_tpu.drag import fast_iter
 
 
+class _CompactOuts(NamedTuple):
+    """Per-frame records kept inside the loop: the decoded LATENT (L≈16
+    floats) instead of the decoded pose (4J≈88 floats).  The pose is a pure
+    function of (latent, global_rot), so it is reconstructed in ONE large
+    batched decode after the loop — the in-loop one-hot write was the
+    second-largest per-block cost (~0.9 ms at B=1024, pure HBM traffic).
+
+    Vector leaves are stored FLATTENED as (B, T·C), not (B, T, C): the TPU
+    pads the minor (lane) dimension to 128, so a (B, T, 16) buffer occupies
+    — and its per-block read-modify-write touches — 8× its logical bytes.
+    Flat (B, T·C) has no lane padding."""
+
+    latent: jnp.ndarray       # (B, T·L) decoded_latent per frame
+    global_pos: jnp.ndarray   # (B, T·3)
+    global_rot: jnp.ndarray   # (B, T·4)
+    iterations: jnp.ndarray   # (B, T) int32
+    loss_pos: jnp.ndarray     # (B, T)
+    loss_rot: jnp.ndarray     # (B, T)
+
+
+class _FlatState(NamedTuple):
+    """Pipeline-internal DragState with FLATTENED ring buffers.
+
+    A (B, P, C) buffer with small C pads its lane dimension to 128 on TPU,
+    so the per-block shift+select read-modify-writes touch up to 40× their
+    logical bytes (measured ~0.6 ms/block at B=1024).  Flat (B, P·C) has no
+    padding; the rollout's sampled rows become static lane gathers.
+    Converted from/to ``DragState`` once at pipeline entry/exit."""
+
+    latent: jnp.ndarray               # (B, L)
+    global_pos: jnp.ndarray           # (B, 3)
+    global_rot: jnp.ndarray           # (B, 4)
+    latent_buffer: jnp.ndarray        # (B, P·L)
+    displacement_buffer: jnp.ndarray  # (B, P·3)
+    heights_buffer: jnp.ndarray       # (B, P·H)
+    target_buffer: jnp.ndarray        # (B, W+1, L)
+    current_index: jnp.ndarray        # (B,)
+
+
+def _flatten_state(s: eng.DragState) -> _FlatState:
+    B = s.latent.shape[0]
+    return _FlatState(
+        latent=s.latent, global_pos=s.global_pos, global_rot=s.global_rot,
+        latent_buffer=s.latent_buffer.reshape(B, -1),
+        displacement_buffer=s.displacement_buffer.reshape(B, -1),
+        heights_buffer=s.heights_buffer.reshape(B, -1),
+        target_buffer=s.target_buffer, current_index=s.current_index,
+    )
+
+
+def _unflatten_state(f: _FlatState, P: int) -> eng.DragState:
+    B = f.latent.shape[0]
+    return eng.DragState(
+        latent=f.latent, global_pos=f.global_pos, global_rot=f.global_rot,
+        latent_buffer=f.latent_buffer.reshape(B, P, -1),
+        displacement_buffer=f.displacement_buffer.reshape(B, P, -1),
+        heights_buffer=f.heights_buffer.reshape(B, P, -1),
+        target_buffer=f.target_buffer, current_index=f.current_index,
+    )
+
+
+def _rollout_inputs_flat(fs: _FlatState, hyper: eng.DragHyper, L: int,
+                         H: int):
+    """Per-lane equivalent of ``engine._rollout_inputs`` on flat buffers
+    (static lane gathers instead of row indexing)."""
+    import numpy as np
+
+    past = np.asarray(hyper.past_frames)
+    step = hyper.sample_step
+    idx_lat = (past[:, None] * L + np.arange(L)[None, :]).ravel()
+    latp = jnp.take(fs.latent_buffer, jnp.asarray(idx_lat)).reshape(
+        len(past), L)
+    acc = past[:-1, None] + np.arange(step)[None, :]
+    idx_d = (acc[..., None] * 3 + np.arange(3)).ravel()
+    disp_acc = jnp.take(fs.displacement_buffer, jnp.asarray(idx_d)).reshape(
+        len(past) - 1, step, 3).sum(axis=1)
+    idx_h = (past[:-1, None] * H + np.arange(H)[None, :]).ravel()
+    heights = jnp.take(fs.heights_buffer, jnp.asarray(idx_h)).reshape(
+        len(past) - 1, H)
+    return latp[:-1], disp_acc, heights, latp[-1]
+
+
+
+
+def _finish_frame_flat(model, hyper: eng.DragHyper, fs: _FlatState,
+                       final: eng._OptCarry, target_buffer, target_ee_pos,
+                       L: int, H: int):
+    """Flat-state equivalent of ``engine._finish_frame`` — the ring-buffer
+    shift is a pure lane-dimension concatenation."""
+    global_pos, global_rot, displacement, heights, current_index, out = \
+        eng._advance_core(model, hyper, fs.global_pos, fs.current_index,
+                          final, target_ee_pos)
+    new = _FlatState(
+        latent=final.latent, global_pos=global_pos, global_rot=global_rot,
+        latent_buffer=jnp.concatenate(
+            (fs.latent_buffer[L:], final.decoded_latent)),
+        displacement_buffer=jnp.concatenate(
+            (fs.displacement_buffer[3:], displacement)),
+        heights_buffer=jnp.concatenate(
+            (fs.heights_buffer[H:], heights)),
+        target_buffer=target_buffer, current_index=current_index,
+    )
+    return new, out
+
+
 class _PipeCarry(NamedTuple):
     opt: eng._OptCarry            # batched Adam state, leaves (B, ...)
-    state: eng.DragState          # batched recurrent state
+    state: _FlatState             # batched recurrent state, flat buffers
     target_buffer: jnp.ndarray    # (B, W+1, L) rollout predictions
     target_latent: jnp.ndarray    # (B, L) this frame's temporal target
     tpos: jnp.ndarray             # (B, J, 3) end-effector position targets
     trot: jnp.ndarray             # (B, J, 3, 3) end-effector rotation targets
     frame: jnp.ndarray            # (B,) int32 — the frame each lane is solving
-    outs: eng.FrameOutput         # (B, T, ...) completed-frame outputs
+    outs: _CompactOuts            # (B, T, ...) completed-frame records
 
 
 def _select(mask, new, old):
@@ -60,6 +165,17 @@ def _select(mask, new, old):
         m = mask.reshape(mask.shape + (1,) * (n.ndim - 1))
         return jnp.where(m, n, o)
     return jax.tree.map(sel, new, old)
+
+
+def _write_rows_flat(flat, frame, done, val, T):
+    """Write ``val`` (B, C) into ``flat`` (B, T·C) at per-lane frame index,
+    only where ``done`` — one-hot select on the unpadded flat layout."""
+    Bv, TC = flat.shape
+    C = TC // T
+    onehot = done[:, None] & (jnp.arange(T)[None, :] == frame[:, None])
+    m = jnp.broadcast_to(onehot[:, :, None], (Bv, T, C)).reshape(Bv, TC)
+    v = jnp.broadcast_to(val[:, None, :], (Bv, T, C)).reshape(Bv, TC)
+    return jnp.where(m, v, flat)
 
 
 def _write_rows(tree, frame, done, vals, T):
@@ -108,10 +224,26 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
                 and isinstance(model.decoder, dict) and "ws" in model.decoder)
     fast_ctx = fast_iter.make_context(model, skeleton, hyper) if fast else None
 
+    L = states.latent.shape[-1]
+    H = states.heights_buffer.shape[-1]
+    P = states.latent_buffer.shape[1]
+
     def begin_all(state_b):
-        return jax.vmap(
-            lambda s: eng._begin_frame(model, hyper, tparam, s, batched=True)
-        )(state_b)
+        """Batched flat-state equivalent of ``engine._begin_frame``: the
+        buffer sampling is vmapped lane gathers; the transformer rollout
+        runs whole-batch in transposed layout (``forward_T``)."""
+        if not hyper.use_temporal:
+            return state_b.target_buffer, jnp.zeros_like(state_b.latent)
+        lat, disp_acc, heights, token0 = jax.vmap(
+            lambda s: _rollout_inputs_flat(s, hyper, L, H))(state_b)
+        new_buffer = eng._temporal_rollout_core_T(
+            model, hyper, tparam, lat, disp_acc, heights, token0)
+        target_buffer = jnp.where(
+            (state_b.current_index == 0)[:, None, None], new_buffer,
+            state_b.target_buffer)
+        target_latent = jax.vmap(lambda tb, ci: tb[ci])(
+            target_buffer, state_b.current_index)
+        return target_buffer, target_latent
 
     def targets_all(state_b, f_idx):
         take = jax.vmap(
@@ -134,23 +266,26 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
 
     def finish_b(state_b, opt, tbuf, tpos):
         return jax.vmap(
-            lambda s, c, tb, tp: eng._finish_frame(model, hyper, s, c, tb, tp)
+            lambda s, c, tb, tp: _finish_frame_flat(model, hyper, s, c, tb,
+                                                    tp, L, H)
         )(state_b, opt, tbuf, tpos)
 
     # ------------------------------------------------------------------
     # Prologue: every lane begins frame 0.
     # ------------------------------------------------------------------
-    tbuf0, tlat0 = begin_all(states)
-    tpos0, trot0 = targets_all(states, jnp.zeros((B,), jnp.int32))
+    fstates = _flatten_state(states)
+    tbuf0, tlat0 = begin_all(fstates)
+    tpos0, trot0 = targets_all(fstates, jnp.zeros((B,), jnp.int32))
     opt0 = opt_init_b(states.latent)
-    outs0 = eng.FrameOutput(
-        pose=jnp.zeros((B, T, n_joints * 4)),
-        global_pos=jnp.zeros((B, T, 3)),
+    outs0 = _CompactOuts(
+        latent=jnp.zeros((B, T * L)),
+        global_pos=jnp.zeros((B, T * 3)),
+        global_rot=jnp.zeros((B, T * 4)),
         iterations=jnp.zeros((B, T), jnp.int32),
         loss_pos=jnp.zeros((B, T)),
         loss_rot=jnp.zeros((B, T)),
     )
-    carry0 = _PipeCarry(opt0, states, tbuf0, tlat0, tpos0, trot0,
+    carry0 = _PipeCarry(opt0, fstates, tbuf0, tlat0, tpos0, trot0,
                         jnp.zeros((B,), jnp.int32), outs0)
 
     # ------------------------------------------------------------------
@@ -179,10 +314,23 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
         # Lanes whose stop rule now holds have FINISHED frame c.frame.
         done = (~opt_cond_b(opt)) & (c.frame < limit)
 
-        new_state, out = finish_b(c.state, opt, c.target_buffer, c.tpos)
+        new_state, _ = finish_b(c.state, opt, c.target_buffer, c.tpos)
         state = _select(done, new_state, c.state)
 
-        outs = _write_rows(c.outs, jnp.minimum(c.frame, T - 1), done, out, T)
+        f_cl = jnp.minimum(c.frame, T - 1)
+        outs = _CompactOuts(
+            latent=_write_rows_flat(c.outs.latent, f_cl, done,
+                                    opt.decoded_latent, T),
+            global_pos=_write_rows_flat(c.outs.global_pos, f_cl, done,
+                                        new_state.global_pos, T),
+            global_rot=_write_rows_flat(c.outs.global_rot, f_cl, done,
+                                        new_state.global_rot, T),
+            iterations=_write_rows(c.outs.iterations, f_cl, done, opt.t, T),
+            loss_pos=_write_rows(c.outs.loss_pos, f_cl, done,
+                                 opt.loss_pos, T),
+            loss_rot=_write_rows(c.outs.loss_rot, f_cl, done,
+                                 opt.loss_rot, T),
+        )
 
         frame = c.frame + done.astype(jnp.int32)
         f_next = jnp.minimum(frame, T - 1)
@@ -203,4 +351,31 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
                           trot, frame, outs)
 
     final = jax.lax.while_loop(cond, body, carry0)
-    return final.state, final.outs
+    co = final.outs
+
+    # ------------------------------------------------------------------
+    # Epilogue: reconstruct the pose outputs from the stored latents in
+    # one large lane-efficient decode (B·T lanes at once).
+    # ------------------------------------------------------------------
+    from dragposer_tpu.models import vae
+
+    mean_q, std_q = eng._quat_stats(model)
+    pose_n, _ = vae.decode_folded_flat(
+        model.decoder, co.latent.reshape(B * T, -1),
+        model.mean_dqs, model.std_dqs,
+    )
+    pose = pose_n.reshape(B, T, -1)
+    gr_btc = co.global_rot.reshape(B, T, 4)
+    root = (gr_btc - mean_q[:4]) / std_q[:4]
+    pose = jnp.concatenate((root, pose[..., 4:]), axis=-1)
+    valid = (jnp.arange(T)[None, :] < limit[:, None])[..., None]
+    pose = jnp.where(valid, pose, 0.0)
+
+    outs = eng.FrameOutput(
+        pose=pose,
+        global_pos=co.global_pos.reshape(B, T, 3),
+        iterations=co.iterations,
+        loss_pos=co.loss_pos,
+        loss_rot=co.loss_rot,
+    )
+    return _unflatten_state(final.state, P), outs

@@ -149,3 +149,32 @@ def test_torch_transformer_parity(params):
                        tgt_mask=tmodel.causal_mask(4))
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_forward_T_matches_forward(example_bvh_path):
+    """The transposed inference forward must reproduce the reference-parity
+    forward bit-for-bit on the moved axes (incl. masked decoder steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dragposer_tpu.config import TEMPORAL_PARAM
+    from dragposer_tpu.models import temporal as tm
+
+    params = tm.init_params(jax.random.PRNGKey(3), TEMPORAL_PARAM)
+    B, S, L = 6, 15, TEMPORAL_PARAM["latent_dim"]
+    d_in = L + 3 + len(TEMPORAL_PARAM["height_indices"])
+    key = jax.random.PRNGKey(4)
+    enc = jax.random.normal(key, (B, S, d_in))
+    n_steps = 4
+    tok = jax.random.normal(jax.random.PRNGKey(5), (B, n_steps, L))
+    mask = jnp.where(jnp.arange(n_steps) <= 1, 0.0,
+                     -jnp.inf).astype(jnp.float32)[None, :]
+
+    ref = jax.vmap(lambda e, t: tm.forward(params, TEMPORAL_PARAM, e, t,
+                                           tgt_mask=mask))(enc, tok)
+    got = tm.forward_T(params, TEMPORAL_PARAM,
+                       jnp.moveaxis(enc, 0, -1), jnp.moveaxis(tok, 0, -1),
+                       tgt_mask=mask)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 0),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
