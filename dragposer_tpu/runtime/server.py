@@ -46,14 +46,71 @@ OP_SET_OPTIM_PARAMS = 7
 OP_SET_LAMBDAS = 8
 OP_SET_GLOBAL_POS = 9
 OP_DRAG_POSE = 10
+# Batched offline evaluation: JSON request in, JSON result out.  The heavy
+# lifting is the same engine the CLI uses (eval_drag.evaluate_batched with
+# the pipelined ragged-batch runtime); engines are cached per
+# (model_dir, config, temporal) so repeated jobs skip XLA compilation.
+OP_EVAL_BATCH = 11
 
 DEFAULT_SOCKET = "/tmp/dragposer_tpu.sock"
+
+_engines: dict = {}
+
+
+def _eval_batch(req: dict) -> dict:
+    """Serve one batched evaluation job (see OP_EVAL_BATCH).
+
+    Request keys: ``model_dir``, ``skeleton`` (BVH path), ``files`` (list of
+    BVH paths), ``config`` (builtin name or config-JSON path, default
+    6_trackers), ``use_temporal`` (default true), ``max_frames`` (optional),
+    ``downsample_gt`` (default 1), ``save_dir`` (default "data").
+    """
+    import time as _time
+
+    from dragposer_tpu.cli.eval_drag import (build_engine, evaluate_batched,
+                                             resolve_config)
+    from dragposer_tpu.data import encoding
+    from dragposer_tpu.io.bvh import BVH
+    from dragposer_tpu.ops.topology import Skeleton
+
+    key = (req["model_dir"], req.get("config", "6_trackers"),
+           bool(req.get("use_temporal", True)), req["skeleton"])
+    if key not in _engines:
+        bvh = BVH().load(req["skeleton"])
+        rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+        sk = Skeleton.build(parents, offsets, bvh.names)
+        engine, means, stds = build_engine(
+            req["model_dir"], parents,
+            resolve_config(req.get("config", "6_trackers")),
+            use_temporal=bool(req.get("use_temporal", True)), skeleton=sk,
+        )
+        _engines[key] = (engine, means, stds, sk)
+    engine, means, stds, sk = _engines[key]
+
+    t0 = _time.time()
+    results = evaluate_batched(
+        engine, means, stds, sk, req["files"],
+        max_frames=req.get("max_frames"),
+        save_dir=req.get("save_dir", "data"),
+        downsample_gt=int(req.get("downsample_gt", 1)),
+    )
+    return {
+        "results": [
+            {"file": f, "mpjpe": float(m), "mpeepe": float(e)}
+            for f, (m, e) in zip(req["files"], results)
+        ],
+        "elapsed_s": _time.time() - t0,
+    }
 
 
 def _handle_request(capi, op: int, payload: bytes) -> bytes:
     """Dispatch one decoded request to the flat capi bridge."""
     if op == OP_PING:
         return b""
+    if op == OP_EVAL_BATCH:
+        import json
+
+        return json.dumps(_eval_batch(json.loads(payload))).encode()
     if op == OP_INIT:
         return struct.pack("<q", capi.init())
     h = struct.unpack_from("<q", payload)[0]

@@ -107,6 +107,31 @@ def test_daemon_cleans_up_disconnected_handles(daemon):
     s2.close()
 
 
+def test_daemon_eval_batch(daemon, tmp_path):
+    """The batched offline-eval endpoint: submit BVH files, get metrics."""
+    sys.path.insert(0, REPO)
+    from dragposer_tpu.runtime.client import DaemonClient
+
+    sock_path, _ = daemon
+    files = ["/root/reference/python/data/example/eval/example.bvh",
+             "/root/reference/python/data/example/eval/example_2.bvh"]
+    with DaemonClient(sock_path, timeout=900) as c:
+        c.ping()
+        out = c.eval_batch(MODEL, SKELETON, files, config="6_trackers",
+                           use_temporal=False, max_frames=40,
+                           save_dir=str(tmp_path))
+    assert len(out["results"]) == 2
+    for r in out["results"]:
+        assert 0.0 < r["mpjpe"] < 0.5, r
+        assert 0.0 < r["mpeepe"] < 0.8, r
+    # second call reuses the cached engine (no recompile) => much faster
+    with DaemonClient(sock_path, timeout=900) as c:
+        out2 = c.eval_batch(MODEL, SKELETON, files, config="6_trackers",
+                            use_temporal=False, max_frames=40,
+                            save_dir=str(tmp_path))
+    assert out2["elapsed_s"] < out["elapsed_s"]
+
+
 @pytest.fixture(autouse=True)
 def _require_build():
     if not os.path.exists(SMOKE):
