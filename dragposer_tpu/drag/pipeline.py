@@ -38,6 +38,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dragposer_tpu.drag import engine as eng
 from dragposer_tpu.drag import fast_iter
@@ -108,8 +109,6 @@ def _rollout_inputs_flat(fs: _FlatState, hyper: eng.DragHyper, L: int,
                          H: int):
     """Per-lane equivalent of ``engine._rollout_inputs`` on flat buffers
     (static lane gathers instead of row indexing)."""
-    import numpy as np
-
     past = np.asarray(hyper.past_frames)
     step = hyper.sample_step
     idx_lat = (past[:, None] * L + np.arange(L)[None, :]).ravel()
@@ -203,8 +202,12 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
     """Drop-in replacement for ``vmap(run_sequence)``: same inputs
     (``states`` batched, ``dqs_norm`` (B, T, J*8), ``gt_pos`` (B, T, 3),
     ``gt_rot`` (B, T, 4)), same outputs (final states, FrameOutput stacked
-    (B, T, ...)), faster at large batch by not paying the per-frame batch
-    max of the Adam while-loop.
+    (B, T, ...)).  2.5× the plain vmapped scan at batch 2048 (442k vs 179k
+    frames/s on one v5e chip) from three structural changes: lanes advance
+    through their own frames (no batch-max iteration tax), the inner Adam
+    loop and rollout run in batch-in-lanes transposed layouts, and all
+    in-loop accumulation uses unpadded flat buffers with the pose decoded
+    once at the end.
 
     ``lengths`` (B,) optionally gives each lane's true frame count: lanes
     halt at their own length, so ragged directory batches stop paying for

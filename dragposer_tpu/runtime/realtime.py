@@ -234,6 +234,12 @@ class RealtimeSession:
             global_pos=np.asarray(global_pos, np.float32).reshape(3)
         )
 
+    def make_batch(self, n_avatars: int) -> "RealtimeBatch":
+        """Promote this session's configuration to an N-avatar batch
+        (shared skeleton/model/optimizer budget; per-avatar masks)."""
+        self._ensure_engine()
+        return RealtimeBatch(self, n_avatars)
+
     def drag_pose(self, target_ee_pos: np.ndarray, target_ee_rot: np.ndarray,
                   out_pose: np.ndarray, out_global_pos: np.ndarray) -> None:
         """One realtime frame.  target_ee_rot are wxyz quaternions (E, 4).
@@ -258,3 +264,116 @@ class RealtimeSession:
         local, global_pos = jax.device_get((local, global_pos))
         np.copyto(out_pose, np.asarray(local).reshape(j, 4))
         out_global_pos[0, :] = np.asarray(global_pos)
+
+
+class RealtimeBatch:
+    """N concurrent avatars in ONE device program per frame.
+
+    TPU-native multi-tenant serving: all avatars share the skeleton, model
+    weights and optimizer budget of a configured :class:`RealtimeSession`;
+    each avatar has its OWN dense end-effector mask/weights, recurrent drag
+    state, and targets.  Because masks are data (not structure), per-avatar
+    tracker configurations — and live mask edits, tracker dropout — never
+    recompile.  A crowd of 6-/4-/3-tracker users steps together as one
+    ``vmap``-ed fused frame program (the reference serves exactly one user
+    per embedded interpreter).
+
+    Build via ``RealtimeSession.make_batch(n)`` after ``load_models``::
+
+        s = RealtimeSession(); s.set_reference_skeleton(bvh); s.load_models(d)
+        s.set_mask_and_weights(mask, weights)       # default for all avatars
+        batch = s.make_batch(32)
+        batch.set_mask_and_weights(3, mask3, weights3)   # avatar 3 differs
+        batch.init_drag_pose(gp0 (N,3), gr0 (N,4))
+        local, gp = batch.drag_pose(tpos (N,J,3), trot_wxyz (N,J,4))
+    """
+
+    def __init__(self, session: RealtimeSession, n_avatars: int):
+        import jax
+
+        from dragposer_tpu.drag import engine as eng
+        from dragposer_tpu.ops import fk, quat
+
+        self.n_avatars = int(n_avatars)
+        self.skeleton = session.skeleton
+        engine = session._engine
+        self._engine = engine
+        j = self.skeleton.n_joints
+
+        self._masks = np.tile(np.asarray(engine.model.mask)[None],
+                              (n_avatars, 1)).astype(np.float32)
+        self._weights = np.tile(np.asarray(engine.model.weights)[None],
+                                (n_avatars, 1, 1)).astype(np.float32)
+
+        model, statics, skeleton = engine.model, engine.statics, engine.skeleton
+        hyper, tparam = engine.hyper, engine.tparam
+
+        def _fused(model_l, state, tpos, trot_quats):
+            trot = quat.to_matrix(trot_quats)
+            new_state, out = eng.frame_step(
+                model_l, statics, skeleton, hyper, tparam, state, tpos, trot,
+                batched=True,
+            )
+            mean_q, std_q = eng._quat_stats(model_l)
+            rs = (out.pose * std_q + mean_q).reshape(-1, 4)
+            local = fk.from_root_quat(rs, skeleton)
+            return new_state, local, out.global_pos
+
+        # mask/weights batched over avatars, every other model leaf shared
+        model_axes = jax.tree.map(lambda _: None, model)._replace(
+            mask=0, weights=0)
+        self._step = jax.jit(
+            jax.vmap(_fused, in_axes=(model_axes, 0, 0, 0)))
+
+        def _init(model_l, key, gp0, gr0):
+            import jax.numpy as jnp
+
+            # zero initial pose + heights, as the reference (run_drag.py:77-96)
+            pose0 = jnp.zeros((j * 8, cfg.VAE_PARAM["window_size"]))
+            return eng.init_state(
+                model_l, statics, hyper, key, pose0, gp0, gr0,
+                jnp.zeros(len(cfg.HEIGHT_INDICES)),
+            )
+
+        self._init_b = jax.jit(
+            jax.vmap(_init, in_axes=(model_axes, 0, 0, 0)))
+        self._state = None
+
+    def _model_b(self):
+        return self._engine.model._replace(mask=self._masks,
+                                           weights=self._weights)
+
+    # ------------------------------------------------------------------
+    def set_mask_and_weights(self, avatar: int, mask, weights) -> int:
+        """Live per-avatar tracker configuration (no recompilation)."""
+        j = self.skeleton.n_joints
+        self._masks[avatar] = np.asarray(mask, np.float32).reshape(j)
+        self._weights[avatar] = np.asarray(weights, np.float32).reshape(j, 2)
+        return int(np.count_nonzero(self._masks[avatar]))
+
+    def init_drag_pose(self, initial_global_pos, initial_global_rot,
+                       seed: int = cfg.VAE_PARAM["seed"]) -> None:
+        """Reset ALL avatars (zero initial pose, as ``run_drag.py:77-96``)."""
+        import jax
+
+        keys = np.tile(
+            np.asarray(jax.random.PRNGKey(seed))[None], (self.n_avatars, 1))
+        self._state = self._init_b(
+            self._model_b(), keys,
+            np.asarray(initial_global_pos, np.float32).reshape(-1, 3),
+            np.asarray(initial_global_rot, np.float32).reshape(-1, 4),
+        )
+
+    def drag_pose(self, target_ee_pos, target_ee_rot):
+        """One frame for every avatar.  Dense targets: (N, J, 3) positions
+        and (N, J, 4) wxyz quaternions (inactive joints ignored via the
+        masks).  Returns (parent-local wxyz (N, J, 4), global_pos (N, 3))."""
+        import jax
+
+        self._state, local, gp = self._step(
+            self._model_b(), self._state,
+            np.asarray(target_ee_pos, np.float32),
+            np.asarray(target_ee_rot, np.float32),
+        )
+        local, gp = jax.device_get((local, gp))
+        return np.asarray(local), np.asarray(gp)
