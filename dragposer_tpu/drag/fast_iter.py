@@ -86,6 +86,18 @@ def make_context(model: eng.DragModel, skeleton: Skeleton,
     for j, p in enumerate(np.asarray(skeleton.parents)):
         P[j, p] = 1.0
 
+    if model.mask.ndim == 2:
+        # per-lane masks/weights (multi-avatar serving): the weight planes
+        # become (J, B) and broadcast against the component planes exactly
+        # like the shared (J, 1) case; n_ee becomes per-lane (B,).
+        w_pos = (model.mask * model.weights[..., 0]).T
+        w_rot = (model.mask * model.weights[..., 1]).T
+        n_ee = jnp.maximum(jnp.sum(model.mask, axis=-1), 1.0)
+    else:
+        w_pos = (model.mask * model.weights[:, 0])[:, None]
+        w_rot = (model.mask * model.weights[:, 1])[:, None]
+        n_ee = jnp.maximum(jnp.sum(model.mask), 1.0)
+
     return FastContext(
         W1=folded["ws"][0], b1=folded["bs"][0][:, None],
         W2=folded["ws"][1], b2=folded["bs"][1][:, None],
@@ -94,9 +106,9 @@ def make_context(model: eng.DragModel, skeleton: Skeleton,
         P=jnp.asarray(P),
         A=jnp.asarray(np.asarray(skeleton.ancestors, np.float32)),
         offs=jnp.asarray(np.asarray(skeleton.offsets, np.float32).T[:, :, None]),
-        w_pos=(model.mask * model.weights[:, 0])[:, None],
-        w_rot=(model.mask * model.weights[:, 1])[:, None],
-        n_ee=jnp.maximum(jnp.sum(model.mask), 1.0),
+        w_pos=w_pos,
+        w_rot=w_rot,
+        n_ee=n_ee,
         unperm=jnp.asarray(unperm),
     )
 

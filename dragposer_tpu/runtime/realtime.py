@@ -308,22 +308,54 @@ class RealtimeBatch:
         model, statics, skeleton = engine.model, engine.statics, engine.skeleton
         hyper, tparam = engine.hyper, engine.tparam
 
-        def _fused(model_l, state, tpos, trot_quats):
-            trot = quat.to_matrix(trot_quats)
-            new_state, out = eng.frame_step(
-                model_l, statics, skeleton, hyper, tparam, state, tpos, trot,
-                batched=True,
+        import jax.numpy as jnp
+
+        from dragposer_tpu.drag import fast_iter
+
+        def _step_all(model_b, state_b, tpos, trot_quats):
+            """One frame for every avatar: targets in, parent-local quats
+            out — the whole crowd as one device program.  Uses the same
+            batch-in-lanes inner loop as the offline pipeline
+            (``fast_iter.run_block`` with sync_k = max_iter covers the full
+            realtime optimizer budget in one masked block)."""
+            n = state_b.latent.shape[0]
+            trot = jax.vmap(quat.to_matrix)(trot_quats)
+
+            # begin: whole-batch transposed rollout + per-lane target gate
+            lat, disp_acc, hts, tok0 = jax.vmap(
+                lambda s: eng._rollout_inputs(s, hyper))(state_b)
+            if hyper.use_temporal:
+                nb = eng._temporal_rollout_core_T(
+                    model_b, hyper, tparam, lat, disp_acc, hts, tok0)
+                tbuf = jnp.where((state_b.current_index == 0)[:, None, None],
+                                 nb, state_b.target_buffer)
+                tlat = jax.vmap(lambda tb, ci: tb[ci])(
+                    tbuf, state_b.current_index)
+            else:
+                tbuf = state_b.target_buffer
+                tlat = jnp.zeros_like(state_b.latent)
+
+            ctx = fast_iter.make_context(model_b, skeleton, hyper)
+            opt0 = jax.vmap(
+                lambda z: eng._opt_init(z, skeleton.n_joints))(state_b.latent)
+            opt = fast_iter.run_block(
+                ctx, hyper, hyper.max_iter, opt0,
+                jnp.ones((n,), bool), state_b, tpos, trot, tlat,
+                model_b, statics, skeleton,
             )
-            mean_q, std_q = eng._quat_stats(model_l)
-            rs = (out.pose * std_q + mean_q).reshape(-1, 4)
-            local = fk.from_root_quat(rs, skeleton)
+            new_state, out = jax.vmap(
+                lambda s, c, tb, tp: eng._finish_frame(model_b, hyper, s, c,
+                                                       tb, tp)
+            )(state_b, opt, tbuf, tpos)
+
+            mean_q, std_q = eng._quat_stats(model_b)
+            rs = (out.pose * std_q + mean_q).reshape(n, -1, 4)
+            local = jax.vmap(lambda r: fk.from_root_quat(r, skeleton))(rs)
             return new_state, local, out.global_pos
 
-        # mask/weights batched over avatars, every other model leaf shared
+        self._step = jax.jit(_step_all)
         model_axes = jax.tree.map(lambda _: None, model)._replace(
             mask=0, weights=0)
-        self._step = jax.jit(
-            jax.vmap(_fused, in_axes=(model_axes, 0, 0, 0)))
 
         def _init(model_l, key, gp0, gr0):
             import jax.numpy as jnp
