@@ -195,12 +195,16 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
     eval_path = os.path.join(save_dir, "eval_" + filename)
     out_bvh.save(eval_path)
 
+    out_loaded = BVH().load(eval_path)
     mpjpe, mpeepe = metrics.positional_error(
-        bvh, BVH().load(eval_path), downsample_gt=downsample_gt
+        bvh, out_loaded, downsample_gt=downsample_gt
     )
     print(f"Evaluate Loss: {mpjpe + mpeepe}")
     print(f"Mean Per Joint Position Error: {mpjpe}")
     print(f"Mean End Effector Position Error: {mpeepe}")
+    jit = metrics.jitter(out_loaded)
+    jit_gt = metrics.jitter(bvh, downsample=downsample_gt)
+    print(f"Jitter (m/s^3): {jit:.1f} (ground truth {jit_gt:.1f})")
     print(f"Time: {elapsed}")
     return mpjpe, mpeepe, elapsed, n_frames
 

@@ -47,3 +47,27 @@ def positional_error(
     err = np.linalg.norm(pos[:n] - gt_pos[:n], axis=-1)
     sparse_err = err[:, list(sparse_joints)[1:]]  # root excluded
     return float(err.mean()), float(sparse_err.mean())
+
+
+def jitter(bvh: BVH, *, downsample: int = 1) -> float:
+    """Mean third-derivative magnitude of WORLD joint positions in m/s³ —
+    the temporal-smoothness metric the sparse-tracking literature reports
+    alongside MPJPE (the reference repo computes it only for the paper;
+    BASELINE.json names "MPJPE + jitter" as the accuracy metric).
+
+    jitter = mean over joints/frames of ‖x(t+1) − 3x(t) + 3x(t−1) − x(t−2)‖
+    · fps³, on full world positions (root translation included — smoothness
+    of the delivered motion, not just the pose)."""
+    from dragposer_tpu.ops import host_device
+
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    if downsample > 1:
+        rots = rots[::downsample]
+        pos = pos[::downsample]
+    with host_device():
+        sk = Skeleton.build(parents, offsets)
+        p, _ = fk.fk_local(rots, pos[:, 0, :], sk)
+        p = np.asarray(p)
+    fps = 1.0 / (float(bvh.frame_time) * downsample)
+    d3 = (p[3:] - 3.0 * p[2:-1] + 3.0 * p[1:-2] - p[:-3]) * fps**3
+    return float(np.linalg.norm(d3, axis=-1).mean())

@@ -44,8 +44,15 @@ def run_reference(workdir: str, frames: int, config: str) -> dict:
         assert m, f"missing '{label}':\n{out.stdout[-2000:]}"
         return float(m.group(1))
 
+    from dragposer_tpu import metrics
+    from dragposer_tpu.io.bvh import BVH
+
+    ref_out = os.path.join(workdir, "data", "eval_clip.bvh")
+    jit = metrics.jitter(BVH().load(ref_out)) if os.path.exists(ref_out) \
+        else None
     return {"mpjpe": grab("Mean Per Joint Position Error"),
             "mpeepe": grab("Mean End Effector Position Error"),
+            "jitter": jit,
             "clip": os.path.join(workdir, "clip.bvh")}
 
 
@@ -65,7 +72,12 @@ def run_ours(clip: str, config: str, save_dir: str) -> dict:
     )
     mpjpe, mpeepe, _, _ = evaluate_file(engine, means, stds, skeleton, clip,
                                         save_dir=save_dir)
-    return {"mpjpe": mpjpe, "mpeepe": mpeepe}
+    from dragposer_tpu import metrics
+
+    out = os.path.join(save_dir, "eval_" + os.path.basename(clip))
+    return {"mpjpe": mpjpe, "mpeepe": mpeepe,
+            "jitter": metrics.jitter(BVH().load(out)),
+            "gt_jitter": metrics.jitter(bvh)}
 
 
 def main():
@@ -116,6 +128,8 @@ def main():
         results[name] = {
             "ref_mpjpe": ref["mpjpe"], "our_mpjpe": ours["mpjpe"],
             "ref_mpeepe": ref["mpeepe"], "our_mpeepe": ours["mpeepe"],
+            "ref_jitter": ref.get("jitter"), "our_jitter": ours["jitter"],
+            "gt_jitter": ours["gt_jitter"],
             "rel_diff_mpjpe": rel,
         }
         print(f"   our MPJPE {ours['mpjpe']:.6f}  rel diff {rel*100:.3f}%",
