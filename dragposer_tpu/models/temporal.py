@@ -202,19 +202,19 @@ def _attention(p, q_in, kv_in, n_heads: int, mask=None, dot=_rowdot_impl):
     q = proj(q_in, wq, bq)
     k = proj(kv_in, wk, bk)
     v = proj(kv_in, wv, bv)
-    # The tiny per-head contractions (S ≤ 16, dh = 12) as broadcast
-    # multiply-REDUCES, not dot_generals: under a sequence-batch vmap the
-    # dots become per-batch micro-GEMMs that XLA lowers through layout
-    # transposes (measured 2.75× slower on the transposed path, same
-    # pathology here); the fused mul-reduce is pure VPU and contracts in
-    # f32 (the dots used bf16 passes — faster AND tighter).
-    # shapes: q (..., Sq, H, dh), k/v (..., Sk, H, dh)
-    scores = jnp.sum(q[..., :, None, :, :] * k[..., None, :, :, :],
-                     axis=-1) / math.sqrt(dh)        # (..., Sq, Sk, H)
+    # NB: these stay dot_generals, NOT the broadcast mul-reduce used by the
+    # transposed ``forward_T``.  The mul-reduce is 2.75× faster and tighter
+    # (f32), but THIS function is the numeric anchor for head-to-head
+    # parity with the unmodified reference (single-sequence eval path):
+    # changing the contraction arithmetic moved the chaotic windowed
+    # 4-tracker full-clip MPJPE from 0.65% to 1.44% off the reference —
+    # past the 1% bar.  The fast serving/batch paths use forward_T.
+    scores = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        precision=_PRECISION) / math.sqrt(dh)
     if mask is not None:
-        scores = scores + mask[..., None]
-    attn = jax.nn.softmax(scores, axis=-2)
-    out = jnp.sum(attn[..., None] * v[..., None, :, :, :], axis=-3)
+        scores = scores + mask
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn, v, precision=_PRECISION)
     out = out.reshape(q_in.shape)
     return dot(out, p["out_w"], p["out_b"])
 

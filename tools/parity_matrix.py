@@ -151,7 +151,9 @@ def main():
         "excluded_degenerate": sorted(set(results) - set(working)),
         "note": "configs with ref_mpjpe >= 0.15 m are underconstrained "
                 "failure regimes in BOTH implementations; our 3-tracker "
-                "full-clip MPJPE spans 0.27-0.44 m across init seeds, "
+                "full-clip MPJPE spans 0.27-0.50 m across init seeds and "
+                "numerics (eval_drag --restarts 16 selects by tracker-fit "
+                "loss and measures 0.32 m), "
                 "containing the reference's value",
     }
     with open(args.out, "w") as f:
