@@ -211,7 +211,8 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
 
 def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
                      *, max_frames=None, save_dir: str = "data",
-                     seed: int = cfg.VAE_PARAM["seed"], downsample_gt: int = 1):
+                     seed: int = cfg.VAE_PARAM["seed"], downsample_gt: int = 1,
+                     restarts: int = 1):
     """Reconstruct many sequences concurrently in one vmapped device program.
 
     Sequences are padded to the longest by repeating their last frame; the
@@ -250,7 +251,17 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     gr = np.stack([pad(n.global_rot, f) for n, f in zip(norms, lengths)])
     h0 = np.stack([m.heights[0] for m in encoded])
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(files))
+    # multi-restart: replicate every sequence ``restarts`` times with
+    # different latent inits; per file keep the lowest tracker-fit loss
+    # (see run_restarts — helps the underconstrained 3-tracker mode)
+    R = max(int(restarts), 1)
+    if R > 1:
+        rep = lambda a: np.repeat(a, R, axis=0)  # noqa: E731
+        dqs, gp, gr, h0 = rep(dqs), rep(gp), rep(gr), rep(h0)
+        lengths_b = np.repeat(np.asarray(lengths), R)
+    else:
+        lengths_b = np.asarray(lengths)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(files) * R)
     states = jax.vmap(
         lambda k, d, g, r, h: eng.init_state(
             engine.model, engine.statics, engine.hyper, k,
@@ -262,7 +273,16 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     # pipelined runner: lanes advance through their own frames and halt at
     # their true length — ragged directory batches don't reconstruct padding
     _, out = engine.run_batch_pipelined(states, dqs, gp, gr,
-                                        lengths=np.asarray(lengths))
+                                        lengths=lengths_b)
+    if R > 1:
+        score = (np.asarray(out.loss_pos) + np.asarray(out.loss_rot))
+        # mean over each lane's REAL frames only
+        valid = np.arange(score.shape[1])[None, :] < lengths_b[:, None]
+        score = (score * valid).sum(1) / np.maximum(valid.sum(1), 1)
+        best = score.reshape(len(files), R).argmin(axis=1)
+        pick = np.arange(len(files)) * R + best
+        out = jax.tree.map(lambda a: np.asarray(a)[pick], out)
+        print(f"restarts: kept {best.tolist()} of {R} per file")
     poses, global_pos, iters = out.pose, out.global_pos, out.iterations
     poses = np.asarray(poses)
     global_pos = np.asarray(global_pos)
@@ -360,7 +380,8 @@ def main(argv=None):
             evaluate_batched(engine, means, stds, skeleton, files,
                              max_frames=args.max_frames,
                              save_dir=args.save_dir,
-                             downsample_gt=args.downsample_gt)
+                             downsample_gt=args.downsample_gt,
+                             restarts=args.restarts)
         else:
             for path in files:
                 print(f"Evaluate {path} ------------------------")

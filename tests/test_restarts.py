@@ -54,3 +54,25 @@ def test_run_restarts_picks_lowest_fit_loss(example_bvh_path):
     # the kept trajectory is the best lane's, not a mixture
     assert float(np.asarray(out.loss_pos).mean()
                  + np.asarray(out.loss_rot).mean()) == scores[best]
+
+
+def test_batched_directory_restarts(example_bvh_path, tmp_path):
+    """evaluate_batched with restarts: per-file best-of-N selection."""
+    from dragposer_tpu.cli.eval_drag import (build_engine, evaluate_batched,
+                                             resolve_config)
+
+    bvh = BVH().load(example_bvh_path)
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    sk = Skeleton.build(parents, offsets, bvh.names)
+    engine, means, stds = build_engine(
+        REFERENCE_MODEL, parents, resolve_config("3_trackers"),
+        use_temporal=False, skeleton=sk, max_iter=4,
+    )
+    files = ["/root/reference/python/data/example/eval/example.bvh",
+             "/root/reference/python/data/example/eval/example_2.bvh"]
+    results = evaluate_batched(engine, means, stds, sk, files,
+                               max_frames=12, save_dir=str(tmp_path),
+                               restarts=3)
+    assert len(results) == 2
+    for mpjpe, mpeepe in results:
+        assert 0.0 < mpjpe < 1.0
