@@ -67,7 +67,7 @@ class DaemonClient:
     def eval_batch(self, model_dir: str, skeleton: str, files: list,
                    config: str = "6_trackers", use_temporal: bool = True,
                    max_frames: Optional[int] = None, downsample_gt: int = 1,
-                   save_dir: str = "data") -> dict:
+                   save_dir: str = "data", restarts: int = 1) -> dict:
         """Run a batched offline reconstruction job on the daemon's warm
         engine; returns ``{"results": [{file, mpjpe, mpeepe}...],
         "elapsed_s": ...}``."""
@@ -75,6 +75,7 @@ class DaemonClient:
             "model_dir": model_dir, "skeleton": skeleton, "files": files,
             "config": config, "use_temporal": use_temporal,
             "downsample_gt": downsample_gt, "save_dir": save_dir,
+            "restarts": restarts,
         }
         if max_frames is not None:
             req["max_frames"] = max_frames

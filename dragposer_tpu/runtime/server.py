@@ -93,6 +93,7 @@ def _eval_batch(req: dict) -> dict:
         max_frames=req.get("max_frames"),
         save_dir=req.get("save_dir", "data"),
         downsample_gt=int(req.get("downsample_gt", 1)),
+        restarts=int(req.get("restarts", 1)),
     )
     return {
         "results": [
