@@ -514,13 +514,17 @@ def _begin_frame(model: DragModel, hyper: DragHyper, tparam,
 
 
 def _advance_core(model: DragModel, hyper: DragHyper, state_global_pos,
-                  state_current_index, final: _OptCarry, target_ee_pos):
+                  state_current_index, final: _OptCarry, adj_target):
     """Buffer-layout-independent end-of-frame math: global-transform
     advance, joint adjustment, heights row, output pose (reference
     ``DragPose.run`` postamble, ``drag_pose.py:306-395``).
 
-    Returns ``(global_pos, global_rot, displacement, heights,
-    current_index, FrameOutput)`` — the caller shifts its ring buffers."""
+    ``adj_target``: the (3,) world target of the adjustment end effector
+    (only consumed when ``hyper.joint_adjustment`` is set — callers may
+    pass zeros otherwise; keeping it a single row lets the pipeline avoid
+    materializing batch-leading (B, J, 3) target arrays).  Returns
+    ``(global_pos, global_rot, displacement, heights, current_index,
+    FrameOutput)`` — the caller shifts its ring buffers."""
     mean_q, std_q = _quat_stats(model)
     aux = final.aux
 
@@ -529,9 +533,9 @@ def _advance_core(model: DragModel, hyper: DragHyper, state_global_pos,
 
     displacement = aux.displacement
     if hyper.joint_adjustment is not None:
-        joint_idx, ee_joint = hyper.joint_adjustment
+        joint_idx, _ = hyper.joint_adjustment
         adjustment = (
-            target_ee_pos[ee_joint] - aux.positions[joint_idx]
+            adj_target - aux.positions[joint_idx]
         ) * hyper.joint_adjustment_weight
         global_pos = global_pos + adjustment
         displacement = displacement + adjustment  # world-space add, as reference
@@ -556,9 +560,12 @@ def _finish_frame(model: DragModel, hyper: DragHyper, state: DragState,
                   final: _OptCarry, target_buffer: jnp.ndarray,
                   target_ee_pos: jnp.ndarray) -> Tuple[DragState, FrameOutput]:
     """End-of-frame work on the (P, ·)-shaped ring-buffer state."""
+    adj = (target_ee_pos[hyper.joint_adjustment[1]]
+           if hyper.joint_adjustment is not None
+           else jnp.zeros(3, target_ee_pos.dtype))
     global_pos, global_rot, displacement, heights, current_index, out = \
         _advance_core(model, hyper, state.global_pos, state.current_index,
-                      final, target_ee_pos)
+                      final, adj)
     new_state = DragState(
         latent=final.latent,
         global_pos=global_pos,

@@ -59,6 +59,10 @@ class FastContext(NamedTuple):
     w_rot: Any     # (J, 1) mask * rotation weights
     n_ee: Any      # () traced active-joint count
     unperm: Any    # (4J,) static indices: comp-major -> interleaved wxyz
+    dq_gather: Any # (J*8, 4J) constant 0/1 matrix: x (B, J*8) @ dq_gather
+                   #       -> (B, 4J) comp-major quat channels (a TPU lane
+                   #       gather with 88 arbitrary indices lowers as a slow
+                   #       serialized gather; the one-hot matmul is MXU)
 
 
 def make_context(model: eng.DragModel, skeleton: Skeleton,
@@ -71,6 +75,9 @@ def make_context(model: eng.DragModel, skeleton: Skeleton,
     J = skeleton.n_joints
     perm = np.concatenate([np.arange(J) * 4 + c for c in range(4)])
     unperm = np.argsort(perm)
+    dq_perm = np.concatenate([np.arange(J) * 8 + c for c in range(4)])
+    dq_gather = np.zeros((J * 8, 4 * J), np.float32)
+    dq_gather[dq_perm, np.arange(4 * J)] = 1.0
 
     W3 = folded["ws"][2]
     b3 = folded["bs"][2]
@@ -110,6 +117,7 @@ def make_context(model: eng.DragModel, skeleton: Skeleton,
         w_rot=w_rot,
         n_ee=n_ee,
         unperm=jnp.asarray(unperm),
+        dq_gather=jnp.asarray(dq_gather),
     )
 
 
@@ -222,6 +230,54 @@ def forward_T(ctx: FastContext, hyper: eng.DragHyper, zT, grT, tposT, trotT,
                     pos=jnp.stack((posx, posy, posz), axis=1))
 
 
+def eval_targets_T(ctx: FastContext, hyper: eng.DragHyper, global_pos_b,
+                   dqs_f, gt_pos, gt_rot):
+    """Transposed equivalent of ``engine._eval_targets``: build per-frame
+    end-effector targets from GT, whole-batch, on component planes.
+
+    ``global_pos_b`` (B, 3) current root positions; ``dqs_f`` (B, J*8)
+    normalized GT dual quats for the frame; ``gt_pos``/``gt_rot`` (B, 3)/
+    (B, 4).  Returns ``(tposT (J, 3, B), trotT (J, 3, 3, B))`` — the layout
+    ``run_block`` consumes directly.  The vmapped per-lane version computes
+    FK on (22, 4)-shaped arrays (≤17% lane utilization) and measured ~21%
+    of the whole pipelined block at B=2048."""
+    J = ctx.P.shape[0]
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")  # noqa: E731
+
+    x = jnp.matmul(dqs_f, ctx.dq_gather,
+                   precision="highest").T.reshape(4, J, -1)  # raw quats
+    q = x * ctx.sq + ctx.mq                            # denormalized (4,J,B)
+    grT = gt_rot.T                                     # (4, B)
+    # rs = qs with the root slot replaced by the GT world rotation
+    row0 = (jnp.arange(J) == 0)[:, None]
+    rs = [jnp.where(row0, grT[c][None], q[c]) for c in range(4)]
+    # world[j>=1] = rs[0] (x) rs[j];  world[0] = rs[0]  (fk_root_space)
+    ww, wx, wy, wz = _qmul(grT[0][None], grT[1][None], grT[2][None],
+                           grT[3][None], rs[0], rs[1], rs[2], rs[3])
+    ww = jnp.where(row0, grT[0][None], ww)
+    wx = jnp.where(row0, grT[1][None], wx)
+    wy = jnp.where(row0, grT[2][None], wy)
+    wz = jnp.where(row0, grT[3][None], wz)
+
+    disp = (gt_pos - global_pos_b).T                   # (3, B)
+    pw, px, py, pz = mm(ctx.P, ww), mm(ctx.P, wx), mm(ctx.P, wy), mm(ctx.P, wz)
+    cx, cy, cz = _qrot(pw, px, py, pz, ctx.offs[0], ctx.offs[1], ctx.offs[2])
+    posx = mm(ctx.A, cx) + disp[0][None]
+    posy = mm(ctx.A, cy) + disp[1][None]
+    posz = mm(ctx.A, cz) + disp[2][None]
+    tposT = jnp.stack((posx, posy, posz), axis=1)      # (J, 3, B)
+
+    x2, y2, z2 = wx + wx, wy + wy, wz + wz
+    xx, yy, zz = wx * x2, wy * y2, wz * z2
+    wx_, wy_, wz_ = ww * x2, ww * y2, ww * z2
+    xy, xz, yz = wx * y2, wx * z2, wy * z2
+    r0 = jnp.stack((1.0 - (yy + zz), xy - wz_, xz + wy_), axis=1)
+    r1 = jnp.stack((xy + wz_, 1.0 - (xx + zz), yz - wx_), axis=1)
+    r2 = jnp.stack((xz - wy_, yz + wx_, 1.0 - (xx + yy)), axis=1)
+    trotT = jnp.stack((r0, r1, r2), axis=1)            # (J, 3, 3, B)
+    return tposT, trotT
+
+
 class _FastCarry(NamedTuple):
     z: Any          # (L, B)
     m: Any          # (L, B)
@@ -235,16 +291,16 @@ class _FastCarry(NamedTuple):
 
 
 def run_block(ctx: FastContext, hyper: eng.DragHyper, sync_k: int,
-              opt: eng._OptCarry, lane_active, state, tpos, trot,
+              opt: eng._OptCarry, lane_active, state, tposT, trotT,
               target_latent, model, statics, skeleton):
     """Run ``sync_k`` masked Adam iterations in transposed layout and return
     an updated batched ``_OptCarry`` (aux recomputed at the decoded latent).
 
-    Drop-in replacement for the pipeline's vmapped inner scan.
+    Drop-in replacement for the pipeline's vmapped inner scan.  Targets
+    arrive TRANSPOSED: ``tposT`` (J, 3, B), ``trotT`` (J, 3, 3, B) — the
+    native layout of ``eval_targets_T``.
     """
     grT = state.global_rot.T                      # (4, B)
-    tposT = jnp.moveaxis(tpos, 0, -1)             # (J, 3, B)
-    trotT = jnp.moveaxis(trot, 0, -1)             # (J, 3, 3, B)
     tlatT = target_latent.T                       # (L, B)
 
     def total_sum(zT):

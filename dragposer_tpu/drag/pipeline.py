@@ -127,13 +127,14 @@ def _rollout_inputs_flat(fs: _FlatState, hyper: eng.DragHyper, L: int,
 
 
 def _finish_frame_flat(model, hyper: eng.DragHyper, fs: _FlatState,
-                       final: eng._OptCarry, target_buffer, target_ee_pos,
+                       final: eng._OptCarry, target_buffer, adj_target,
                        L: int, H: int):
     """Flat-state equivalent of ``engine._finish_frame`` — the ring-buffer
-    shift is a pure lane-dimension concatenation."""
+    shift is a pure lane-dimension concatenation.  ``adj_target``: (3,)
+    world target of the adjustment end effector (zeros when unused)."""
     global_pos, global_rot, displacement, heights, current_index, out = \
         eng._advance_core(model, hyper, fs.global_pos, fs.current_index,
-                          final, target_ee_pos)
+                          final, adj_target)
     new = _FlatState(
         latent=final.latent, global_pos=global_pos, global_rot=global_rot,
         latent_buffer=jnp.concatenate(
@@ -152,8 +153,8 @@ class _PipeCarry(NamedTuple):
     state: _FlatState             # batched recurrent state, flat buffers
     target_buffer: jnp.ndarray    # (B, W+1, L) rollout predictions
     target_latent: jnp.ndarray    # (B, L) this frame's temporal target
-    tpos: jnp.ndarray             # (B, J, 3) end-effector position targets
-    trot: jnp.ndarray             # (B, J, 3, 3) end-effector rotation targets
+    tpos: jnp.ndarray             # fast: (J, 3, B) planes; else (B, J, 3)
+    trot: jnp.ndarray             # fast: (J, 3, 3, B); else (B, J, 3, 3)
     frame: jnp.ndarray            # (B,) int32 — the frame each lane is solving
     outs: _CompactOuts            # (B, T, ...) completed-frame records
 
@@ -253,6 +254,11 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
             lambda a, i: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
         )
         d, p, r = take(dqs_norm, f_idx), take(gt_pos, f_idx), take(gt_rot, f_idx)
+        if fast:
+            # whole-batch plane-math FK (the vmapped per-lane version
+            # measured ~21% of the block at B=2048 — lane-4 layouts)
+            return fast_iter.eval_targets_T(fast_ctx, hyper,
+                                            state_b.global_pos, d, p, r)
         return jax.vmap(
             lambda s, dd, pp, rr: eng._eval_targets(model, skeleton, s, dd, pp, rr)
         )(state_b, d, p, r)
@@ -267,11 +273,19 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
             )
         )(opt, state_b.global_pos, state_b.global_rot, tpos, trot, tlat)
 
-    def finish_b(state_b, opt, tbuf, tpos):
+    def finish_b(state_b, opt, tbuf, adj_b):
         return jax.vmap(
             lambda s, c, tb, tp: _finish_frame_flat(model, hyper, s, c, tb,
                                                     tp, L, H)
-        )(state_b, opt, tbuf, tpos)
+        )(state_b, opt, tbuf, adj_b)
+
+    def adj_targets(tpos):
+        """(B, 3) world target of the adjustment EE (zeros when unused) —
+        extracted without materializing a batch-leading (B, J, 3) array."""
+        if hyper.joint_adjustment is None:
+            return jnp.zeros((B, 3))
+        ee = hyper.joint_adjustment[1]
+        return tpos[ee].T if fast else tpos[:, ee]
 
     # ------------------------------------------------------------------
     # Prologue: every lane begins frame 0.
@@ -317,7 +331,8 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
         # Lanes whose stop rule now holds have FINISHED frame c.frame.
         done = (~opt_cond_b(opt)) & (c.frame < limit)
 
-        new_state, _ = finish_b(c.state, opt, c.target_buffer, c.tpos)
+        new_state, _ = finish_b(c.state, opt, c.target_buffer,
+                                adj_targets(c.tpos))
         state = _select(done, new_state, c.state)
 
         f_cl = jnp.minimum(c.frame, T - 1)
@@ -345,8 +360,12 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
         target_latent = _select(done, tlat_new, c.target_latent)
 
         tpos_new, trot_new = targets_all(state, f_next)
-        tpos = _select(done, tpos_new, c.tpos)
-        trot = _select(done, trot_new, c.trot)
+        if fast:  # (… , B) layout: mask broadcasts on the last axis
+            tpos = jnp.where(done[None, None, :], tpos_new, c.tpos)
+            trot = jnp.where(done[None, None, None, :], trot_new, c.trot)
+        else:
+            tpos = _select(done, tpos_new, c.tpos)
+            trot = _select(done, trot_new, c.trot)
 
         opt = _select(done, opt_init_b(state.latent), opt)
 

@@ -340,7 +340,8 @@ class RealtimeBatch:
                 lambda z: eng._opt_init(z, skeleton.n_joints))(state_b.latent)
             opt = fast_iter.run_block(
                 ctx, hyper, hyper.max_iter, opt0,
-                jnp.ones((n,), bool), state_b, tpos, trot, tlat,
+                jnp.ones((n,), bool), state_b,
+                jnp.moveaxis(tpos, 0, -1), jnp.moveaxis(trot, 0, -1), tlat,
                 model_b, statics, skeleton,
             )
             new_state, out = jax.vmap(

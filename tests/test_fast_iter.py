@@ -168,3 +168,38 @@ def test_fast_pipeline_lockstep(setup, example_bvh_path):
     np.testing.assert_allclose(np.asarray(out.global_pos),
                                np.asarray(slow.global_pos),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_eval_targets_T_matches_vmapped(setup):
+    import jax
+    import jax.numpy as jnp
+
+    from dragposer_tpu.drag import engine as eng
+    from dragposer_tpu.drag import fast_iter
+    from dragposer_tpu.ops import quat
+
+    engine, sk = setup
+    model, hyper = engine.model, engine.hyper
+    B = 8
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dqs_f = jax.random.normal(k1, (B, sk.n_joints * 8)) * 0.5
+    gt_pos = jax.random.normal(k2, (B, 3))
+    gt_rot = quat.normalize(jax.random.normal(k3, (B, 4)))
+    gpos = jax.random.normal(k4, (B, 3)) * 0.2
+
+    class _S:  # _eval_targets only reads .global_pos
+        def __init__(self, gp):
+            self.global_pos = gp
+
+    ref_pos, ref_rot = jax.vmap(
+        lambda g, d, p, r: eng._eval_targets(model, sk, _S(g), d, p, r)
+    )(gpos, dqs_f, gt_pos, gt_rot)
+
+    ctx = fast_iter.make_context(model, sk, hyper)
+    tposT, trotT = fast_iter.eval_targets_T(ctx, hyper, gpos, dqs_f,
+                                            gt_pos, gt_rot)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(tposT), -1, 0),
+                               np.asarray(ref_pos), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(trotT), -1, 0),
+                               np.asarray(ref_rot), rtol=1e-4, atol=1e-5)

@@ -1,10 +1,14 @@
-"""Isolate per-block cost of the pipelined loop's components (current
-structure: fast_iter inner loop + sync bookkeeping).
+"""Per-component cost of the production pipelined runtime, by ablation.
 
-Runs a FIXED number of blocks (scan instead of while) with pieces stubbed
-out, timing each variant.  Numerics are irrelevant here.  NOTE: the
-tunneled dev TPU adds ~29 ms per invocation; at 40 blocks that inflates
-every number by ~0.7 ms/block — compare variants, not absolutes.
+Monkeypatches one internal at a time (inner loop, rollout, output writes,
+GT targets) with a cheap stand-in, re-traces ``run_batch_pipelined``
+through the real entry point, and times end-to-end — so the numbers always
+reflect the CURRENT pipeline structure.  NOTE: ablations change what XLA
+can hoist (e.g. freezing the rollout makes it loop-invariant), so read
+single deltas from 'full', not sums.
+
+Tunnel caveat: ~29 ms per invocation is transport; each timed run is
+~0.5-1 s so the skew is ≤5%.
 """
 
 import os
@@ -15,17 +19,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "240"))
-BLOCKS = 40
-K = int(os.environ.get("BENCH_SYNC_K", "32"))
+SYNC_K = int(os.environ.get("BENCH_SYNC_K", "24"))
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/dragposer_jax_cache")
-    import jax.numpy as jnp
 
     from dragposer_tpu import config as cfg
     from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
@@ -37,14 +40,12 @@ def main():
     from dragposer_tpu.ops.topology import Skeleton
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    model_dir = os.path.join(here, "models/model_dancedb_example")
     bvh = BVH().load("/root/reference/python/data/example/eval/example.bvh")
     rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
     skeleton = Skeleton.build(parents, offsets, bvh.names)
     engine, means, stds = build_engine(
-        model_dir, parents, resolve_config("6_trackers"),
-        use_temporal=True, skeleton=skeleton,
-    )
+        os.path.join(here, "models/model_dancedb_example"), parents,
+        resolve_config("6_trackers"), use_temporal=True, skeleton=skeleton)
     seg = slice(2000, 2000 + FRAMES)
     motion = encoding.encode_motion(offsets, pos[seg, 0, :], rots[seg],
                                     skeleton, height_indices=cfg.HEIGHT_INDICES)
@@ -62,107 +63,69 @@ def main():
     )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), h0)
     dqs, gp, gr = jax.device_put(dqs), jax.device_put(gp), jax.device_put(gr)
 
-    model, statics, hyper, tparam = (engine.model, engine.statics,
-                                     engine.hyper, engine.tparam)
-    B, T = BATCH, FRAMES
-    n_joints = skeleton.n_joints
-    ctx = fast_iter.make_context(model, skeleton, hyper)
-
-    def make_runner(do_inner, do_begin, do_targets, do_finish, do_outs):
-        def begin_all(state_b):
-            return jax.vmap(
-                lambda s: eng._begin_frame(model, hyper, tparam, s, True)
-            )(state_b)
-
-        def targets_all(state_b, f_idx):
-            take = jax.vmap(lambda a, i: jax.lax.dynamic_index_in_dim(
-                a, i, 0, keepdims=False))
-            d, p, r = take(dqs, f_idx), take(gp, f_idx), take(gr, f_idx)
-            return jax.vmap(lambda s, dd, pp, rr: eng._eval_targets(
-                model, skeleton, s, dd, pp, rr))(state_b, d, p, r)
-
-        opt_cond_b = jax.vmap(lambda c: eng._opt_cond(c, hyper))
-        opt_init_b = jax.vmap(lambda lat: eng._opt_init(lat, n_joints))
-
-        def finish_b(state_b, opt, tbuf, tpos):
-            return jax.vmap(lambda s, c, tb, tp: eng._finish_frame(
-                model, hyper, s, c, tb, tp))(state_b, opt, tbuf, tpos)
-
-        @jax.jit
-        def run(states):
-            tbuf0, tlat0 = begin_all(states)
-            tpos0, trot0 = targets_all(states, jnp.zeros((B,), jnp.int32))
-            opt0 = opt_init_b(states.latent)
-            outs0 = eng.FrameOutput(
-                pose=jnp.zeros((B, T, n_joints * 4)),
-                global_pos=jnp.zeros((B, T, 3)),
-                iterations=jnp.zeros((B, T), jnp.int32),
-                loss_pos=jnp.zeros((B, T)),
-                loss_rot=jnp.zeros((B, T)),
-            )
-            c0 = pl._PipeCarry(opt0, states, tbuf0, tlat0, tpos0, trot0,
-                               jnp.zeros((B,), jnp.int32), outs0)
-
-            def body(c, _):
-                opt = c.opt
-                lane_active = c.frame < T
-                if do_inner:
-                    opt = fast_iter.run_block(
-                        ctx, hyper, K, opt, lane_active, c.state,
-                        c.tpos, c.trot, c.target_latent, model, statics,
-                        skeleton)
-                done = (~opt_cond_b(opt)) & lane_active
-                state = c.state
-                if do_finish:
-                    new_state, out = finish_b(c.state, opt, c.target_buffer,
-                                              c.tpos)
-                    state = pl._select(done, new_state, c.state)
-                outs = c.outs
-                if do_outs and do_finish:
-                    outs = pl._write_rows(c.outs, jnp.minimum(c.frame, T - 1),
-                                          done, out, T)
-                frame = c.frame + done.astype(jnp.int32)
-                f_next = jnp.minimum(frame, T - 1)
-                tbuf, tlat = c.target_buffer, c.target_latent
-                if do_begin:
-                    tb_new, tl_new = begin_all(state)
-                    tbuf = pl._select(done, tb_new, tbuf)
-                    tlat = pl._select(done, tl_new, tlat)
-                tpos, trot = c.tpos, c.trot
-                if do_targets:
-                    tp_new, tr_new = targets_all(state, f_next)
-                    tpos = pl._select(done, tp_new, tpos)
-                    trot = pl._select(done, tr_new, trot)
-                opt = pl._select(done, opt_init_b(state.latent), opt)
-                return pl._PipeCarry(opt, state, tbuf, tlat, tpos, trot,
-                                     frame, outs), None
-
-            final, _ = jax.lax.scan(body, c0, None, length=BLOCKS)
-            return final
-
-        return run
-
-    variants = [
-        ("full", (True, True, True, True, True)),
-        ("no inner loop", (False, True, True, True, True)),
-        ("no begin(rollout)", (True, False, True, True, True)),
-        ("no finish+outs", (True, True, True, False, False)),
-        ("no outs write", (True, True, True, True, False)),
-        ("no targets", (True, True, False, True, True)),
-        ("inner only", (True, False, False, False, False)),
-    ]
-    for name, flags in variants:
-        run = make_runner(*flags)
-        f = run(states)
-        jax.block_until_ready(f.frame)
+    def timed(tag):
+        engine._run_pipelined = {}  # force a re-trace with current patches
+        _, out = engine.run_batch_pipelined(states, dqs, gp, gr,
+                                            sync_k=SYNC_K)
+        jax.block_until_ready(out.pose)
         ts = []
         for _ in range(3):
             t0 = time.time()
-            f = run(states)
-            jax.block_until_ready(f.frame)
+            _, out = engine.run_batch_pipelined(states, dqs, gp, gr,
+                                                sync_k=SYNC_K)
+            jax.block_until_ready(out.pose)
             ts.append(time.time() - t0)
-        per_block = min(ts) / BLOCKS * 1e3
-        print(f"{name:20s}: {per_block:7.3f} ms/block", flush=True)
+        fps = BATCH * FRAMES / min(ts)
+        print(f"{tag:22s}: {min(ts):7.3f} s  ({fps:9.0f} frames/s)",
+              flush=True)
+
+    timed("full")
+
+    # --- ablate the inner Adam loop: every lane "converges" instantly
+    real_run_block = fast_iter.run_block
+
+    def fake_run_block(ctx, hyper, sync_k, opt, lane_active, state, tpos,
+                      trot, tlat, model, statics, skel):
+        out = real_run_block(ctx, hyper, 1, opt, lane_active, state, tpos,
+                             trot, tlat, model, statics, skel)
+        return out._replace(loss_pos=jnp.zeros_like(out.loss_pos),
+                            loss_rot=jnp.zeros_like(out.loss_rot))
+
+    fast_iter.run_block = fake_run_block
+    pl.fast_iter.run_block = fake_run_block
+    timed("inner = 1 iter")
+    fast_iter.run_block = real_run_block
+    pl.fast_iter.run_block = real_run_block
+
+    # --- ablate the rollout
+    real_roll = eng._temporal_rollout_core_T
+
+    def fake_roll(model, hyper, tparam, lat, disp_acc, heights, token0):
+        w = hyper.temporal_future_window // hyper.sample_step  # noqa: F841
+        n = hyper.temporal_future_window + 1
+        return jnp.zeros((token0.shape[0], n, token0.shape[1]))
+
+    eng._temporal_rollout_core_T = fake_roll
+    timed("no rollout")
+    eng._temporal_rollout_core_T = real_roll
+
+    # --- ablate the output writes
+    real_wf, real_w = pl._write_rows_flat, pl._write_rows
+    pl._write_rows_flat = lambda flat, f, d, v, T: flat
+    pl._write_rows = lambda a, f, d, v, T: a
+    timed("no output writes")
+    pl._write_rows_flat, pl._write_rows = real_wf, real_w
+
+    # --- ablate GT target FK
+    real_t = eng._eval_targets
+
+    def fake_targets(model, skel, state, d, p, r):
+        j = skel.n_joints
+        return jnp.zeros((j, 3)), jnp.zeros((j, 3, 3))
+
+    eng._eval_targets = fake_targets
+    timed("no target FK")
+    eng._eval_targets = real_t
 
 
 if __name__ == "__main__":
