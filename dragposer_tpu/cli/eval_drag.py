@@ -212,13 +212,20 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
 def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
                      *, max_frames=None, save_dir: str = "data",
                      seed: int = cfg.VAE_PARAM["seed"], downsample_gt: int = 1,
-                     restarts: int = 1):
+                     restarts: int = 1, mesh_devices: int | None = None):
     """Reconstruct many sequences concurrently in one vmapped device program.
 
     Sequences are padded to the longest by repeating their last frame; the
     padded tail is discarded before export.  This is the TPU-native
     replacement for the reference's serial directory loop
     (``eval_drag.py:285-291``).
+
+    ``mesh_devices`` shards the lane axis over a 1-D data mesh
+    (``parallel/mesh.py``): ``None`` = all local devices (multi-chip hosts
+    scale out by default), ``1`` = force single-device, ``N`` = exactly N
+    devices.  Weights replicate (168k params); the pipelined loop's global
+    continue-condition becomes an ICI all-reduce.  Per-lane numerics are
+    unchanged (tests/test_parallel.py asserts equality vs unsharded).
     """
     import jax
     import jax.numpy as jnp
@@ -261,23 +268,53 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
         lengths_b = np.repeat(np.asarray(lengths), R)
     else:
         lengths_b = np.asarray(lengths)
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(files) * R)
+    lengths_sel = np.asarray(lengths_b)  # unpadded copy for best-of-R scoring
+    # data-parallel lane sharding: pad the lane count to a multiple of the
+    # mesh size with inert lanes (length 0 — they never activate), shard
+    # every leading axis over the data axis, run, then drop the padding.
+    n_lanes = dqs.shape[0]
+    mesh = None
+    n_dev = len(jax.devices())
+    want = n_dev if mesh_devices is None else int(mesh_devices)
+    if want > 1:
+        assert want <= n_dev, f"--mesh {want} > {n_dev} local devices"
+        from dragposer_tpu.parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(data=want)
+        padl = (-n_lanes) % want
+        if padl:
+            pad1 = lambda a: np.concatenate(  # noqa: E731
+                (a, np.repeat(a[:1], padl, axis=0)), axis=0)
+            dqs, gp, gr, h0 = pad1(dqs), pad1(gp), pad1(gr), pad1(h0)
+            lengths_b = np.concatenate(
+                (lengths_b, np.zeros(padl, lengths_b.dtype)))
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), dqs.shape[0])
     states = jax.vmap(
         lambda k, d, g, r, h: eng.init_state(
             engine.model, engine.statics, engine.hyper, k,
             d[0][:, None], g[0], r[0], h,
         )
     )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), jnp.asarray(h0))
+    if mesh is not None:
+        from dragposer_tpu.parallel import mesh as meshlib
+
+        states = meshlib.shard_batch(states, mesh)
+        dqs, gp, gr, lengths_b = meshlib.shard_batch(
+            (np.asarray(dqs), np.asarray(gp), np.asarray(gr),
+             np.asarray(lengths_b)), mesh)
 
     start = time.time()
     # pipelined runner: lanes advance through their own frames and halt at
     # their true length — ragged directory batches don't reconstruct padding
     _, out = engine.run_batch_pipelined(states, dqs, gp, gr,
                                         lengths=lengths_b)
+    if mesh is not None and out.pose.shape[0] != n_lanes:
+        out = jax.tree.map(lambda a: a[:n_lanes], out)
     if R > 1:
         score = (np.asarray(out.loss_pos) + np.asarray(out.loss_rot))
         # mean over each lane's REAL frames only
-        valid = np.arange(score.shape[1])[None, :] < lengths_b[:, None]
+        valid = np.arange(score.shape[1])[None, :] < lengths_sel[:, None]
         score = (score * valid).sum(1) / np.maximum(valid.sum(1), 1)
         best = score.reshape(len(files), R).argmin(axis=1)
         pick = np.arange(len(files)) * R + best
@@ -340,11 +377,17 @@ def main(argv=None):
     parser.add_argument("--batch", action="store_true",
                         help="reconstruct all files of a directory "
                              "concurrently in one vmapped device program")
-    parser.add_argument("--restarts", type=int, default=1,
+    parser.add_argument("--restarts", type=int, default=None,
                         help="multi-restart drag: reconstruct from N "
                              "different latent inits concurrently and keep "
-                             "the lowest tracker-fit loss (helps the "
-                             "underconstrained 3-tracker mode; no GT used)")
+                             "the lowest tracker-fit loss (no GT used). "
+                             "Default: the config's default_restarts "
+                             "(16 for the underconstrained 3_trackers "
+                             "builtin, else 1)")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="with --batch: shard the lane axis over a "
+                             "1-D data mesh of N devices (default: all "
+                             "local devices; 1 forces single-device)")
     parser.add_argument("--downsample-gt", type=int, default=1,
                         help="downsample factor for the GT in the metric "
                              "(reference eval_drag.py:246 — use 2 when the "
@@ -352,6 +395,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     tracker = resolve_config(args.config)
+    if args.restarts is None:
+        args.restarts = tracker.default_restarts
 
     if os.path.isdir(args.input_path):
         files = sorted(
@@ -381,7 +426,8 @@ def main(argv=None):
                              max_frames=args.max_frames,
                              save_dir=args.save_dir,
                              downsample_gt=args.downsample_gt,
-                             restarts=args.restarts)
+                             restarts=args.restarts,
+                             mesh_devices=args.mesh)
         else:
             for path in files:
                 print(f"Evaluate {path} ------------------------")

@@ -94,6 +94,15 @@ class TrackerConfig:
     lambda_temporal: float
     temporal_future_window: int
     name: str = ""
+    # Multi-restart drag (eval_drag --restarts default): reconstruct from N
+    # latent inits concurrently, keep the lowest tracker-fit loss — no
+    # ground truth consulted.  >1 only for underconstrained configs whose
+    # optimum is init-dependent (3-tracker: the committed
+    # seed_sweep_3_trackers shows single-init MPJPE spans 0.29-0.48 m in
+    # BOTH implementations; best-of-16 by fit loss lands at the reference's
+    # cross-seed mean).  The reference has no analog (single fixed init,
+    # drag_pose.py:47-64).
+    default_restarts: int = 1
 
     @property
     def mask_indices(self) -> np.ndarray:
@@ -181,6 +190,7 @@ THREE_TRACKERS = TrackerConfig(
     lambda_temporal=0.15,
     temporal_future_window=16,
     name="3_trackers",
+    default_restarts=16,
 )
 
 BUILTIN_CONFIGS = {

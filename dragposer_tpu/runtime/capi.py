@@ -30,6 +30,12 @@ def destroy(handle: int) -> None:
     _sessions.pop(handle, None)
 
 
+def get_session(handle: int) -> RealtimeSession:
+    """The session object behind a handle (serving daemon: request
+    coalescing needs direct access to session state/config)."""
+    return _sessions[handle]
+
+
 def set_reference_skeleton(handle: int, bvh_path: str) -> int:
     return _sessions[handle].set_reference_skeleton(bvh_path)
 

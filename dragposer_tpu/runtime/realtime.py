@@ -76,12 +76,25 @@ class RealtimeSession:
         bvh = BVH().load(bvh_path)
         _, _, parents, offsets, _ = encoding.info_from_bvh(bvh)
         self.skeleton = Skeleton.build(parents, offsets, bvh.names)
+        self._skeleton_path = os.path.abspath(bvh_path)
         self._engine_dirty = True
         self.log(f"skeleton: {self.skeleton.n_joints} joints from {bvh_path}")
         return self.skeleton.n_joints
 
+    def config_key(self):
+        """Engine-configuration fingerprint: two sessions with equal keys run
+        numerically identical compiled steps and can be coalesced into one
+        batched frame program by the serving daemon (masks/weights are per-
+        avatar DATA and deliberately not part of the key)."""
+        return (getattr(self, "_skeleton_path", None),
+                getattr(self, "_model_dir", None),
+                self.stop_eps_pos, self.stop_eps_rot, self.max_iter,
+                self.learning_rate, self.lambda_rot, self.lambda_temporal,
+                self.temporal_future_window)
+
     def load_models(self, model_dir: str) -> None:
         assert self.skeleton is not None, "call set_reference_skeleton first"
+        self._model_dir = os.path.abspath(model_dir)
         self._params, self._means, self._stds = loading.load_generator(
             model_dir, self.skeleton.parents, cfg.VAE_PARAM
         )
@@ -240,6 +253,22 @@ class RealtimeSession:
         self._ensure_engine()
         return RealtimeBatch(self, n_avatars)
 
+    def dense_targets(self, target_ee_pos: np.ndarray,
+                      target_ee_rot: np.ndarray):
+        """Scatter sparse end-effector targets (E,3)/(E,4 wxyz) into dense
+        (J,3)/(J,4) arrays per the session's mask (inactive joints get
+        identity)."""
+        j = self.skeleton.n_joints
+        e = len(self._mask_indices)
+        tpos = np.zeros((j, 3), np.float32)
+        trot = np.zeros((j, 4), np.float32)
+        trot[:, 0] = 1.0
+        tpos[self._mask_indices] = np.asarray(
+            target_ee_pos, np.float32).reshape(e, 3)
+        trot[self._mask_indices] = np.asarray(
+            target_ee_rot, np.float32).reshape(e, 4)
+        return tpos, trot
+
     def drag_pose(self, target_ee_pos: np.ndarray, target_ee_rot: np.ndarray,
                   out_pose: np.ndarray, out_global_pos: np.ndarray) -> None:
         """One realtime frame.  target_ee_rot are wxyz quaternions (E, 4).
@@ -252,18 +281,105 @@ class RealtimeSession:
 
         self._ensure_engine()
         j = self.skeleton.n_joints
-        e = len(self._mask_indices)
-        tpos = np.zeros((j, 3), np.float32)
-        trot = np.zeros((j, 4), np.float32)
-        trot[:, 0] = 1.0
-        tpos[self._mask_indices] = np.asarray(target_ee_pos, np.float32).reshape(e, 3)
-        trot[self._mask_indices] = np.asarray(target_ee_rot, np.float32).reshape(e, 4)
+        tpos, trot = self.dense_targets(target_ee_pos, target_ee_rot)
 
         self._state, local, global_pos = self._engine.step_realtime(
             self._state, tpos, trot)
         local, global_pos = jax.device_get((local, global_pos))
         np.copyto(out_pose, np.asarray(local).reshape(j, 4))
         out_global_pos[0, :] = np.asarray(global_pos)
+
+
+def make_batched_step(engine):
+    """Build the jitted N-avatar frame step for ``engine``'s configuration:
+    ``(model_b, state_b, tpos (N,J,3), trot_wxyz (N,J,4)) -> (new_state_b,
+    local (N,J,4), global_pos (N,3))``.  One device program for the whole
+    crowd — used by :class:`RealtimeBatch` and by the serving daemon's
+    request coalescer (``runtime/server.py``), which steps concurrent
+    clients' frames together.  Uses the same batch-in-lanes inner loop as
+    the offline pipeline (``fast_iter.run_block`` with sync_k = max_iter
+    covers the full realtime optimizer budget in one masked block)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dragposer_tpu.drag import engine as eng, fast_iter
+    from dragposer_tpu.ops import fk, quat
+
+    statics, skeleton = engine.statics, engine.skeleton
+    hyper, tparam = engine.hyper, engine.tparam
+
+    def _step_all(model_b, state_b, tpos, trot_quats):
+        n = state_b.latent.shape[0]
+        trot = jax.vmap(quat.to_matrix)(trot_quats)
+
+        # begin: whole-batch transposed rollout + per-lane target gate
+        lat, disp_acc, hts, tok0 = jax.vmap(
+            lambda s: eng._rollout_inputs(s, hyper))(state_b)
+        if hyper.use_temporal:
+            nb = eng._temporal_rollout_core_T(
+                model_b, hyper, tparam, lat, disp_acc, hts, tok0)
+            tbuf = jnp.where((state_b.current_index == 0)[:, None, None],
+                             nb, state_b.target_buffer)
+            tlat = jax.vmap(lambda tb, ci: tb[ci])(
+                tbuf, state_b.current_index)
+        else:
+            tbuf = state_b.target_buffer
+            tlat = jnp.zeros_like(state_b.latent)
+
+        ctx = fast_iter.make_context(model_b, skeleton, hyper)
+        opt0 = jax.vmap(
+            lambda z: eng._opt_init(z, skeleton.n_joints))(state_b.latent)
+        opt = fast_iter.run_block(
+            ctx, hyper, hyper.max_iter, opt0,
+            jnp.ones((n,), bool), state_b,
+            jnp.moveaxis(tpos, 0, -1), jnp.moveaxis(trot, 0, -1), tlat,
+            model_b, statics, skeleton,
+        )
+        new_state, out = jax.vmap(
+            lambda s, c, tb, tp: eng._finish_frame(model_b, hyper, s, c,
+                                                   tb, tp)
+        )(state_b, opt, tbuf, tpos)
+
+        mean_q, std_q = eng._quat_stats(model_b)
+        rs = (out.pose * std_q + mean_q).reshape(n, -1, 4)
+        local = jax.vmap(lambda r: fk.from_root_quat(r, skeleton))(rs)
+        return new_state, local, out.global_pos
+
+    return jax.jit(_step_all)
+
+
+def make_coalesced_step(engine, n_lanes: int):
+    """Jitted frame step over ``n_lanes`` INDEPENDENT session states:
+    ``(model, masks (N,J), weights (N,J,2), states tuple[DragState]*N,
+    tpos (N,J,3), trot_wxyz (N,J,4), active (N,) bool) ->
+    (tuple[DragState]*N, local (N,J,4), global_pos (N,3))``.
+
+    The stack of the per-session states, the crowd step, the
+    kept-only-if-active state selection, and the per-lane unstack all
+    compile into ONE device program — the serving daemon dispatches a
+    single executable per tick no matter how many clients coalesced
+    (``runtime/server.py``).  Inactive (padding) lanes keep their input
+    state bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = make_batched_step(engine)
+
+    def _step(model, masks, weights, states, tpos, trot, active):
+        state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        model_b = model._replace(mask=masks, weights=weights)
+        new_b, local, gp = inner(model_b, state_b, tpos, trot)
+
+        def sel(n, o):
+            a = active.reshape((n_lanes,) + (1,) * (n.ndim - 1))
+            return jnp.where(a, n, o)
+
+        new_b = jax.tree.map(sel, new_b, state_b)
+        outs = tuple(jax.tree.map(lambda x: x[i], new_b)
+                     for i in range(n_lanes))
+        return outs, local, gp
+
+    return jax.jit(_step)
 
 
 class RealtimeBatch:
@@ -292,7 +408,6 @@ class RealtimeBatch:
         import jax
 
         from dragposer_tpu.drag import engine as eng
-        from dragposer_tpu.ops import fk, quat
 
         self.n_avatars = int(n_avatars)
         self.skeleton = session.skeleton
@@ -308,53 +423,7 @@ class RealtimeBatch:
         model, statics, skeleton = engine.model, engine.statics, engine.skeleton
         hyper, tparam = engine.hyper, engine.tparam
 
-        import jax.numpy as jnp
-
-        from dragposer_tpu.drag import fast_iter
-
-        def _step_all(model_b, state_b, tpos, trot_quats):
-            """One frame for every avatar: targets in, parent-local quats
-            out — the whole crowd as one device program.  Uses the same
-            batch-in-lanes inner loop as the offline pipeline
-            (``fast_iter.run_block`` with sync_k = max_iter covers the full
-            realtime optimizer budget in one masked block)."""
-            n = state_b.latent.shape[0]
-            trot = jax.vmap(quat.to_matrix)(trot_quats)
-
-            # begin: whole-batch transposed rollout + per-lane target gate
-            lat, disp_acc, hts, tok0 = jax.vmap(
-                lambda s: eng._rollout_inputs(s, hyper))(state_b)
-            if hyper.use_temporal:
-                nb = eng._temporal_rollout_core_T(
-                    model_b, hyper, tparam, lat, disp_acc, hts, tok0)
-                tbuf = jnp.where((state_b.current_index == 0)[:, None, None],
-                                 nb, state_b.target_buffer)
-                tlat = jax.vmap(lambda tb, ci: tb[ci])(
-                    tbuf, state_b.current_index)
-            else:
-                tbuf = state_b.target_buffer
-                tlat = jnp.zeros_like(state_b.latent)
-
-            ctx = fast_iter.make_context(model_b, skeleton, hyper)
-            opt0 = jax.vmap(
-                lambda z: eng._opt_init(z, skeleton.n_joints))(state_b.latent)
-            opt = fast_iter.run_block(
-                ctx, hyper, hyper.max_iter, opt0,
-                jnp.ones((n,), bool), state_b,
-                jnp.moveaxis(tpos, 0, -1), jnp.moveaxis(trot, 0, -1), tlat,
-                model_b, statics, skeleton,
-            )
-            new_state, out = jax.vmap(
-                lambda s, c, tb, tp: eng._finish_frame(model_b, hyper, s, c,
-                                                       tb, tp)
-            )(state_b, opt, tbuf, tpos)
-
-            mean_q, std_q = eng._quat_stats(model_b)
-            rs = (out.pose * std_q + mean_q).reshape(n, -1, 4)
-            local = jax.vmap(lambda r: fk.from_root_quat(r, skeleton))(rs)
-            return new_state, local, out.global_pos
-
-        self._step = jax.jit(_step_all)
+        self._step = make_batched_step(engine)
         model_axes = jax.tree.map(lambda _: None, model)._replace(
             mask=0, weights=0)
 

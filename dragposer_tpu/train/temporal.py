@@ -128,11 +128,13 @@ def make_eval_step(vae_params, statics, param):
 
 def evaluate(eval_step, tparams, key, data: datasets.TemporalTrainData,
              means_latent, stds_latent, batch: int) -> float:
-    losses = []
+    losses, weights = [], []
     n = data.dqs_past.shape[0]
     for i in range(0, n, batch):
-        if i + batch > n and i > 0:
-            break  # keep static shapes; tail smaller than one batch is skipped
+        # The tail (< one batch) runs as its own smaller static shape: one
+        # extra compile per dataset, and every window contributes to the
+        # checkpoint-selection loss (the reference evaluates whole files,
+        # train_temporal.py:324-471).
         key, k = jax.random.split(key)
         sl = slice(i, min(i + batch, n))
         losses.append(float(eval_step(
@@ -141,7 +143,9 @@ def evaluate(eval_step, tparams, key, data: datasets.TemporalTrainData,
             jnp.asarray(data.disp_past_acc[sl]), jnp.asarray(data.heights[sl]),
             means_latent, stds_latent,
         )))
-    return float(np.mean(losses)) if losses else float("inf")
+        weights.append(sl.stop - sl.start)
+    return float(np.average(losses, weights=weights)) if losses \
+        else float("inf")
 
 
 def train(

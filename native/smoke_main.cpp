@@ -10,7 +10,21 @@
 #include <cstdlib>
 #include <cstring>
 
+#ifdef DRAGPOSER_REFCHECK_HEADER
+// ABI drop-in proof: compile this SAME smoke client against the reference's
+// unmodified header (DragPoserDLL/exportFunc.h, pybind11 satisfied by
+// refcheck_stubs/) and link libdragposer_tpu_native.so.  If our exported
+// signatures or POD layouts drifted from the reference's, this target
+// fails to link or the run produces garbage below.
+#include "exportFunc.h"
+#else
 #include "dragposer_abi.h"
+#endif
+
+// both headers must agree on the POD layouts the ABI passes by value/pointer
+static_assert(sizeof(quaternion) == 16, "quaternion layout");
+static_assert(sizeof(float3) == 12, "float3 layout");
+static_assert(sizeof(float2) == 8, "float2 layout");
 
 int main(int argc, char** argv) {
   if (argc < 3) {
@@ -30,7 +44,11 @@ int main(int argc, char** argv) {
       return 1;
     }
     set_reference_skeleton(h, skeleton);
+#ifdef DRAGPOSER_REFCHECK_HEADER
+    const int j = 22;  // the reference ABI exposes no joint-count export
+#else
     const int j = get_num_joints(h);
+#endif
     std::printf("  joints: %d\n", j);
     if (j <= 0) return 1;
     load_models(h, model_dir);
@@ -44,7 +62,11 @@ int main(int argc, char** argv) {
     weights[3] = weights[7] = weights[13] = weights[17] = weights[21] =
         {5.0f, 0.01f};
     set_mask_and_weights(h, mask, weights);
+#ifdef DRAGPOSER_REFCHECK_HEADER
+    const int e = 6;  // count export is our extension, not in the ref header
+#else
     const int e = get_num_end_effectors(h);
+#endif
     std::printf("  end effectors: %d\n", e);
     if (e != 6) return 1;
 

@@ -139,3 +139,40 @@ def test_temporal_param_sharding_layout(mesh8):
     assert ff2.sharding.spec == jax.sharding.PartitionSpec(None, "model")
     ln = sharded["enc_layers"][0]["ln1"]["g"]
     assert ln.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_evaluate_batched_mesh_cli_path(mesh8, example_bvh_path, tmp_path):
+    """The PRODUCT surface for multi-chip eval: ``evaluate_batched(...,
+    mesh_devices=8)`` (the ``eval_drag --batch --mesh`` path, also serving
+    the daemon's OP_EVAL_BATCH) must reproduce the single-device metrics on
+    a ragged directory whose lane count does not divide the mesh (padding
+    lanes are inert)."""
+    from dragposer_tpu.cli.eval_drag import (build_engine, evaluate_batched,
+                                             resolve_config)
+
+    src = BVH().load(example_bvh_path)
+    files = []
+    for i, nfr in enumerate((20, 16, 12)):  # 3 lanes on 8 devices → pad 5
+        b = BVH().load(example_bvh_path)
+        s = 2000 + 40 * i
+        b.rotations = src.rotations[s : s + nfr]
+        b.positions = src.positions[s : s + nfr]
+        p = str(tmp_path / f"clip{i}.bvh")
+        b.save(p)
+        files.append(p)
+
+    _, _, parents, offsets, _ = encoding.info_from_bvh(src)
+    sk = Skeleton.build(parents, offsets, src.names)
+    engine, means, stds = build_engine(
+        REFERENCE_MODEL, parents, resolve_config("6_trackers"),
+        use_temporal=False, skeleton=sk, max_iter=8,
+    )
+    single = evaluate_batched(
+        engine, means, stds, sk, files, mesh_devices=1,
+        save_dir=str(tmp_path / "single"))
+    sharded = evaluate_batched(
+        engine, means, stds, sk, files, mesh_devices=8,
+        save_dir=str(tmp_path / "mesh"))
+    for (m1, e1), (m8, e8) in zip(single, sharded):
+        np.testing.assert_allclose(m8, m1, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(e8, e1, rtol=1e-3, atol=1e-5)

@@ -28,6 +28,44 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 CONFIG_DIR = "/root/reference/python/config"
 
+# Sources whose behavior PARITY.json certifies: the complete numeric path
+# from BVH in to metrics out, both anchor and pipelined.  A change to any of
+# these invalidates the artifact (tests/test_parity_gate.py compares the
+# hash), forcing a re-certification via `parity_matrix.py --reuse-ref`.
+CERTIFIED_SOURCES = [
+    "dragposer_tpu/config.py",
+    "dragposer_tpu/export.py",
+    "dragposer_tpu/metrics.py",
+    "dragposer_tpu/cli/eval_drag.py",
+    "dragposer_tpu/data/encoding.py",
+    "dragposer_tpu/drag/constraints.py",
+    "dragposer_tpu/drag/engine.py",
+    "dragposer_tpu/drag/fast_iter.py",
+    "dragposer_tpu/drag/pipeline.py",
+    "dragposer_tpu/io/bvh.py",
+    "dragposer_tpu/models/checkpoint.py",
+    "dragposer_tpu/models/loading.py",
+    "dragposer_tpu/models/skeleton_nn.py",
+    "dragposer_tpu/models/temporal.py",
+    "dragposer_tpu/models/torch_import.py",
+    "dragposer_tpu/models/vae.py",
+    "dragposer_tpu/ops/dual_quat.py",
+    "dragposer_tpu/ops/fk.py",
+    "dragposer_tpu/ops/quat.py",
+    "dragposer_tpu/ops/topology.py",
+]
+
+
+def engine_sources_sha() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in CERTIFIED_SOURCES:
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(rel.encode())
+            h.update(f.read())
+    return h.hexdigest()
+
 
 def run_reference(workdir: str, frames: int, config: str) -> dict:
     env = dict(os.environ)
@@ -75,9 +113,65 @@ def run_ours(clip: str, config: str, save_dir: str) -> dict:
     from dragposer_tpu import metrics
 
     out = os.path.join(save_dir, "eval_" + os.path.basename(clip))
-    return {"mpjpe": mpjpe, "mpeepe": mpeepe,
-            "jitter": metrics.jitter(BVH().load(out)),
-            "gt_jitter": metrics.jitter(bvh)}
+    res = {"mpjpe": mpjpe, "mpeepe": mpeepe,
+           "jitter": metrics.jitter(BVH().load(out)),
+           "gt_jitter": metrics.jitter(bvh)}
+    res.update(run_ours_pipelined(engine, means, stds, skeleton, bvh,
+                                  save_dir))
+    return res
+
+
+def run_ours_pipelined(engine, means, stds, skeleton, bvh,
+                       save_dir: str) -> dict:
+    """Full-clip metrics through the PRODUCTION fast path —
+    ``run_batch_pipelined`` with the batch-in-lanes inner loop
+    (``drag/fast_iter.py``) and transposed rollout (``forward_T``), i.e.
+    exactly what the bench, batched eval, and serving daemon execute.  Run
+    at B=2 (two lanes, same init key as the anchor path) so the batched
+    semantics are engaged; lane agreement is asserted as a free internal
+    consistency check."""
+    import jax
+    import numpy as np
+
+    from dragposer_tpu import config as cfg, export, metrics
+    from dragposer_tpu.data import encoding
+    from dragposer_tpu.drag import engine as eng
+    from dragposer_tpu.io.bvh import BVH
+
+    rots, pos, _, offsets, _ = encoding.info_from_bvh(bvh)
+    motion = encoding.encode_motion(
+        offsets, pos[:, 0, :], rots, skeleton,
+        downsample=cfg.VAE_PARAM["downsample"],
+        height_indices=cfg.HEIGHT_INDICES,
+    )
+    norm = encoding.normalize(motion, means, stds)
+    dqs, gp, gr = norm.dqs, norm.global_pos, norm.global_rot
+    initial_pose = np.tile(dqs[0][:, None], (1, cfg.VAE_PARAM["window_size"]))
+
+    key = jax.random.PRNGKey(cfg.VAE_PARAM["seed"])
+    B = 2
+    states = jax.vmap(
+        lambda _i: eng.init_state(
+            engine.model, engine.statics, engine.hyper, key,
+            initial_pose, gp[0], gr[0], motion.heights[0],
+        )
+    )(jax.numpy.arange(B))
+    dqs_b = np.broadcast_to(dqs, (B,) + dqs.shape)
+    gp_b = np.broadcast_to(gp, (B,) + gp.shape)
+    gr_b = np.broadcast_to(gr, (B,) + gr.shape)
+    _, out = engine.run_batch_pipelined(states, dqs_b, gp_b, gr_b, sync_k=24)
+    pose = np.asarray(out.pose)
+    gpos = np.asarray(out.global_pos)
+    assert np.array_equal(pose[0], pose[1]), "pipelined lanes diverged"
+
+    out_bvh = export.result_to_bvh(
+        pose[0], means, stds, bvh, skeleton,
+        global_pos=gpos[0], are_root_rot_incr=False,
+    )
+    p = os.path.join(save_dir, "eval_pipelined.bvh")
+    out_bvh.save(p)
+    mpjpe, mpeepe = metrics.positional_error(bvh, BVH().load(p))
+    return {"mpjpe_pipelined": float(mpjpe), "mpeepe_pipelined": float(mpeepe)}
 
 
 def main():
@@ -86,9 +180,14 @@ def main():
     ap.add_argument("--configs", type=str, default="6,5,4,3")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "PARITY.json"))
     ap.add_argument("--workroot", type=str, default="/tmp/parity_matrix")
+    ap.add_argument("--reuse-ref", action="store_true",
+                    help="reuse ref_* values from the existing artifact "
+                         "(the reference binary is unchanged; only re-run "
+                         "and re-certify our side)")
     args = ap.parse_args()
 
     results = {}
+    prev = {}
     if os.path.exists(args.out):
         # merge with a previous partial run (configs can be measured in
         # batches; the reference side is slow)
@@ -118,22 +217,43 @@ def main():
                     "lambda_temporal": cfg.lambda_temporal,
                     "temporal_future_window": cfg.temporal_future_window,
                 }, f)
-        print(f"== {name}: reference ({args.frames} frames, torch CPU)...",
-              flush=True)
-        ref = run_reference(workdir, args.frames, config)
-        print(f"   ref MPJPE {ref['mpjpe']:.6f} MPEEPE {ref['mpeepe']:.6f}",
-              flush=True)
+        if args.reuse_ref and name in results:
+            clip = os.path.join(workdir, "clip.bvh")
+            if not os.path.exists(clip):
+                from dragposer_tpu.io.bvh import BVH
+
+                b = BVH().load(
+                    "/root/reference/python/data/example/eval/example.bvh")
+                b.rotations = b.rotations[2000:2000 + args.frames]
+                b.positions = b.positions[2000:2000 + args.frames]
+                b.save(clip)
+            r = results[name]
+            ref = {"mpjpe": r["ref_mpjpe"], "mpeepe": r["ref_mpeepe"],
+                   "jitter": r.get("ref_jitter"), "clip": clip}
+            print(f"== {name}: reference reused "
+                  f"(MPJPE {ref['mpjpe']:.6f})", flush=True)
+        else:
+            print(f"== {name}: reference ({args.frames} frames, torch "
+                  "CPU)...", flush=True)
+            ref = run_reference(workdir, args.frames, config)
+            print(f"   ref MPJPE {ref['mpjpe']:.6f} "
+                  f"MPEEPE {ref['mpeepe']:.6f}", flush=True)
         ours = run_ours(ref["clip"], config, os.path.join(workdir, "ours"))
         rel = abs(ours["mpjpe"] - ref["mpjpe"]) / ref["mpjpe"]
+        rel_p = abs(ours["mpjpe_pipelined"] - ref["mpjpe"]) / ref["mpjpe"]
         results[name] = {
             "ref_mpjpe": ref["mpjpe"], "our_mpjpe": ours["mpjpe"],
+            "our_mpjpe_pipelined": ours["mpjpe_pipelined"],
             "ref_mpeepe": ref["mpeepe"], "our_mpeepe": ours["mpeepe"],
+            "our_mpeepe_pipelined": ours["mpeepe_pipelined"],
             "ref_jitter": ref.get("jitter"), "our_jitter": ours["jitter"],
             "gt_jitter": ours["gt_jitter"],
             "rel_diff_mpjpe": rel,
+            "rel_diff_mpjpe_pipelined": rel_p,
         }
-        print(f"   our MPJPE {ours['mpjpe']:.6f}  rel diff {rel*100:.3f}%",
-              flush=True)
+        print(f"   our MPJPE {ours['mpjpe']:.6f}  rel diff {rel*100:.3f}%  "
+              f"pipelined {ours['mpjpe_pipelined']:.6f} "
+              f"({rel_p*100:.3f}%)", flush=True)
 
     # The 1% bar applies to configs where tracking WORKS in both
     # implementations.  3-tracker is a documented failure regime (~0.3 m
@@ -144,22 +264,33 @@ def main():
     WORKING = 0.15  # meters; collapse threshold
     working = {k: r for k, r in results.items() if r["ref_mpjpe"] < WORKING}
     max_rel = max(r["rel_diff_mpjpe"] for r in working.values())
+    max_rel_p = max(r["rel_diff_mpjpe_pipelined"] for r in working.values()
+                    if "rel_diff_mpjpe_pipelined" in r)
     artifact = {
         "frames": args.frames, "configs": results,
         "max_rel_diff_mpjpe_working": max_rel,
-        "pass_1pct": max_rel < 0.01,
+        "max_rel_diff_mpjpe_pipelined_working": max_rel_p,
+        "pass_1pct": max_rel < 0.01 and max_rel_p < 0.01,
         "excluded_degenerate": sorted(set(results) - set(working)),
         "note": "configs with ref_mpjpe >= 0.15 m are underconstrained "
-                "failure regimes in BOTH implementations; our 3-tracker "
-                "full-clip MPJPE spans 0.27-0.50 m across init seeds and "
-                "numerics (eval_drag --restarts 16 selects by tracker-fit "
-                "loss and measures 0.32 m), "
-                "containing the reference's value",
+                "failure regimes in BOTH implementations — evidenced by the "
+                "committed seed_sweep_3_trackers distributions "
+                "(tools/parity_sweep.py): over the SAME 8 initial-latent "
+                "seeds the reference spans 0.285-0.479 m and ours "
+                "0.288-0.485 m on the full clip; eval_drag --restarts 16 "
+                "(default for the 3_trackers builtin) selects by tracker-"
+                "fit loss with no ground truth and lands at 0.339 m = the "
+                "reference's cross-seed mean",
+        "engine_sources_sha": engine_sources_sha(),
     }
+    for k in prev:  # keep sibling artifacts (tools/parity_sweep.py)
+        if k.startswith("seed_sweep_"):
+            artifact[k] = prev[k]
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps({"max_rel_diff_mpjpe_working": max_rel,
-                      "pass_1pct": max_rel < 0.01}))
+                      "max_rel_diff_mpjpe_pipelined_working": max_rel_p,
+                      "pass_1pct": artifact["pass_1pct"]}))
 
 
 if __name__ == "__main__":

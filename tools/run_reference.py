@@ -28,7 +28,8 @@ REF_MODEL = "/root/reference/python/models/model_dancedb"
 REF_BVH = "/root/reference/python/data/example/eval/example.bvh"
 
 
-def main(workdir: str, frames: int, config_json: str | None) -> None:
+def main(workdir: str, frames: int, config_json: str | None,
+         init_seed: int | None = None) -> None:
     sys.path.insert(0, os.path.join(REPO, "tools", "pymotion_shim"))
     sys.path.insert(0, REPO)
     sys.path.insert(0, REF_SRC)
@@ -58,6 +59,18 @@ def main(workdir: str, frames: int, config_json: str | None) -> None:
 
     import eval_drag  # the reference module, resolved from REF_SRC
 
+    if init_seed is not None:
+        # Init-seed sweep: the reference seeds torch with its fixed training
+        # seed at the top of eval_drag.main (eval_drag.py:23); the only
+        # stochastic consumer downstream is the VAE reparameterization that
+        # draws the initial latent (drag_pose.py:47-52 via autoencoder.py:
+        # 19-26).  Redirect that one seeding call so the sweep varies the
+        # initial-latent draw without touching reference code.
+        import torch
+
+        real_manual_seed = torch.manual_seed
+        torch.manual_seed = lambda _s: real_manual_seed(init_seed)
+
     args = types.SimpleNamespace(
         model_path=model_dir,
         input_path=clip,
@@ -71,4 +84,5 @@ if __name__ == "__main__":
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refrun"
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     config = sys.argv[3] if len(sys.argv) > 3 else None
-    main(workdir, frames, config)
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    main(workdir, frames, config, init_seed=seed)
