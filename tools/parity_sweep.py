@@ -32,9 +32,28 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 CONFIG_DIR = "/root/reference/python/config"
 
 
+def merge_write(out_path: str, key: str, sweep: dict) -> None:
+    """Checkpoint ``sweep`` into the artifact WITHOUT clobbering concurrent
+    edits: re-read the file, replace only our key, recompute the top-level
+    pass fields (sweep evidence can change the pipelined criterion), write."""
+    from parity_matrix import recompute_pass
+
+    with open(out_path) as f:
+        artifact = json.load(f)
+    artifact[key] = sweep
+    recompute_pass(artifact)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(artifact, f, indent=2)
+    os.replace(tmp, out_path)
+
+
 def reference_mpjpe(workdir: str, frames: int, config: str, seed: int) -> dict:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # torch-CPU run: don't let the axon sitecustomize hook grab/block on
+    # the single-lease TPU tunnel at interpreter startup
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
          workdir, str(frames), config, str(seed)],
@@ -131,8 +150,27 @@ def main():
     args = ap.parse_args()
 
     name = args.config
+    workdir = os.path.join(args.workroot, name)
+    os.makedirs(workdir, exist_ok=True)
     config = os.path.join(CONFIG_DIR, f"{name}_config.json")
-    assert os.path.exists(config), config
+    if not os.path.exists(config):
+        # the reference repo ships no 5-tracker JSON; synthesize it from our
+        # builtin preset (same schema, as tools/parity_matrix.py does)
+        sys.path.insert(0, REPO)
+        from dragposer_tpu.config import BUILTIN_CONFIGS
+
+        cfg = BUILTIN_CONFIGS[name]
+        config = os.path.join(workdir, f"{name}_config.json")
+        with open(config, "w") as f:
+            json.dump({
+                "mask": list(cfg.mask),
+                "weights": [list(w) for w in cfg.weights],
+                "enable_joint_adjustment": cfg.enable_joint_adjustment,
+                "joint_adjustment_indices": list(cfg.joint_adjustment_indices),
+                "joint_adjustment_weight": cfg.joint_adjustment_weight,
+                "lambda_temporal": cfg.lambda_temporal,
+                "temporal_future_window": cfg.temporal_future_window,
+            }, f)
     # seed 2222 is the reference's own fixed seed (train.py:34, used by
     # eval_drag.py:23); include it so the sweep contains the exact committed
     # head-to-head run.
@@ -142,10 +180,14 @@ def main():
         artifact = json.load(f)
     sweep = artifact.get(f"seed_sweep_{name}", {})
 
-    workdir = os.path.join(args.workroot, name)
-    os.makedirs(workdir, exist_ok=True)
-
     ref = {int(k): v for k, v in sweep.get("reference", {}).items()}
+    head = artifact.get("configs", {}).get(name)
+    if 2222 not in ref and head is not None \
+            and artifact.get("frames") == args.frames:
+        # the committed head-to-head already ran the reference at its own
+        # fixed seed 2222 (train.py:34 via eval_drag.py:23) on this exact
+        # clip — reuse that measurement instead of repeating the run
+        ref[2222] = {"mpjpe": head["ref_mpjpe"], "mpeepe": head["ref_mpeepe"]}
     if not args.skip_reference:
         for s in seeds:
             if s in ref:
@@ -157,9 +199,7 @@ def main():
             print(f"   ref MPJPE {r['mpjpe']:.4f}", flush=True)
             # checkpoint after every (slow) reference run
             sweep["reference"] = {str(k): v for k, v in ref.items()}
-            artifact[f"seed_sweep_{name}"] = sweep
-            with open(args.out, "w") as f:
-                json.dump(artifact, f, indent=2)
+            merge_write(args.out, f"seed_sweep_{name}", sweep)
 
     clip = os.path.join(workdir, "clip.bvh")
     if not os.path.exists(clip):
@@ -211,9 +251,7 @@ def main():
         "distributions_overlap": (min(our_vals) <= max(ref_vals)
                                   and min(ref_vals) <= max(our_vals)),
     }
-    artifact[f"seed_sweep_{name}"] = summary
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=2)
+    merge_write(args.out, f"seed_sweep_{name}", summary)
     print(json.dumps({k: summary[k] for k in
                       ("ref_mpjpe_min", "ref_mpjpe_mean", "ref_mpjpe_max",
                        "our_mpjpe_min", "our_mpjpe_mean", "our_mpjpe_max",
