@@ -10,18 +10,22 @@ hands out one ``DragPoser*`` per ``init_drag_poser``, ``exportFunc.cpp``).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from dragposer_tpu.runtime.realtime import RealtimeSession
 
 _sessions: dict[int, RealtimeSession] = {}
 _next_id = 1
+_id_lock = threading.Lock()  # the daemon serves connections on threads
 
 
 def init() -> int:
     global _next_id
-    handle = _next_id
-    _next_id += 1
+    with _id_lock:
+        handle = _next_id
+        _next_id += 1
     _sessions[handle] = RealtimeSession()
     return handle
 

@@ -81,3 +81,8 @@ class DaemonClient:
             req["max_frames"] = max_frames
         return json.loads(self._call(proto.OP_EVAL_BATCH,
                                      json.dumps(req).encode()))
+
+    def stats(self) -> dict:
+        """Coalescer counters: frames served, device ticks, coalesced
+        frames, largest coalesced group (empty if coalescing disabled)."""
+        return json.loads(self._call(proto.OP_STATS))

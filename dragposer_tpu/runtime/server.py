@@ -10,6 +10,25 @@ client library (``native/dragposer_client.cpp``) is a few KB of socket code
 with no interpreter, so host startup is instant and N host processes share
 the warm engine.
 
+Concurrency model (one thread per connection + a frame coalescer):
+
+* Every accepted connection is served by its own thread, so a multi-second
+  batched-eval job (``OP_EVAL_BATCH``) or a first-time XLA compile in one
+  client can never stall another client's realtime frames.  The protocol is
+  strictly request/response per connection, so per-session ordering is the
+  connection's own ordering.
+* Concurrent ``OP_DRAG_POSE`` requests are COALESCED: the first arriving
+  frame becomes the tick leader, waits up to ``--coalesce-window`` seconds
+  (skipped when only one realtime client is live) for the other live
+  clients' frames, then steps every compatible session (equal
+  ``RealtimeSession.config_key()``) as ONE device program
+  (``realtime.make_coalesced_step``) and fans the results out.  N clients
+  cost ~one device dispatch per tick instead of N — the crowd path of
+  ``RealtimeBatch``, reachable from plain single-avatar native clients.
+  Coalesced lanes run the batch-in-lanes iteration (``drag/fast_iter``),
+  the same numerics as ``RealtimeBatch``; ``--coalesce-window 0`` restores
+  strictly per-request stepping.
+
 Wire format (little-endian):
 
     request  = u32 length | u8 opcode | payload
@@ -22,15 +41,17 @@ when that connection closes (a crashed client cannot leak engine state).
 
 Run:  python -m dragposer_tpu.runtime.server [--socket PATH]
                                              [--idle-timeout SECONDS]
+                                             [--coalesce-window SECONDS]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
-import selectors
 import socket
 import struct
+import threading
 import time
 
 
@@ -51,10 +72,14 @@ OP_DRAG_POSE = 10
 # the pipelined ragged-batch runtime); engines are cached per
 # (model_dir, config, temporal) so repeated jobs skip XLA compilation.
 OP_EVAL_BATCH = 11
+# Daemon statistics (JSON out): frame/tick counters from the coalescer —
+# observability for the multi-client serving path.
+OP_STATS = 12
 
 DEFAULT_SOCKET = "/tmp/dragposer_tpu.sock"
 
 _engines: dict = {}
+_engines_lock = threading.Lock()
 
 
 def _eval_batch(req: dict) -> dict:
@@ -75,17 +100,18 @@ def _eval_batch(req: dict) -> dict:
 
     key = (req["model_dir"], req.get("config", "6_trackers"),
            bool(req.get("use_temporal", True)), req["skeleton"])
-    if key not in _engines:
-        bvh = BVH().load(req["skeleton"])
-        rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
-        sk = Skeleton.build(parents, offsets, bvh.names)
-        engine, means, stds = build_engine(
-            req["model_dir"], parents,
-            resolve_config(req.get("config", "6_trackers")),
-            use_temporal=bool(req.get("use_temporal", True)), skeleton=sk,
-        )
-        _engines[key] = (engine, means, stds, sk)
-    engine, means, stds, sk = _engines[key]
+    with _engines_lock:
+        if key not in _engines:
+            bvh = BVH().load(req["skeleton"])
+            rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+            sk = Skeleton.build(parents, offsets, bvh.names)
+            engine, means, stds = build_engine(
+                req["model_dir"], parents,
+                resolve_config(req.get("config", "6_trackers")),
+                use_temporal=bool(req.get("use_temporal", True)), skeleton=sk,
+            )
+            _engines[key] = (engine, means, stds, sk)
+        engine, means, stds, sk = _engines[key]
 
     t0 = _time.time()
     results = evaluate_batched(
@@ -104,14 +130,189 @@ def _eval_batch(req: dict) -> dict:
     }
 
 
-def _handle_request(capi, op: int, payload: bytes) -> bytes:
+class _PendingDrag:
+    """One in-flight OP_DRAG_POSE, parked while the coalescer ticks."""
+
+    __slots__ = ("session", "tpos", "trot", "event", "result", "error")
+
+    def __init__(self, session, tpos, trot):
+        self.session = session
+        self.tpos = tpos      # sparse (E, 3) float32
+        self.trot = trot      # sparse (E, 4) wxyz float32
+        self.event = threading.Event()
+        self.result = None    # bytes: (J*4 local quats ++ 3 global pos) f32
+        self.error = None
+
+
+class DragCoalescer:
+    """Collect concurrent drag requests for a tick; step them together.
+
+    Connection threads call :meth:`drag` and block until their frame's
+    result is ready.  The first request of a tick becomes the leader: it
+    waits up to ``window_s`` (early-exit once every recently-active session
+    has submitted; no wait at all when only one session is live), snapshots
+    the pending set, groups it by ``RealtimeSession.config_key()``, and
+    steps each multi-session group as ONE compiled device program
+    (``realtime.make_coalesced_step``, lanes padded to the next power of
+    two so lane-count changes rarely recompile).  Singleton groups take the
+    session's own single-avatar path unchanged.
+    """
+
+    def __init__(self, window_s: float = 0.002, max_lanes: int = 64):
+        self.window_s = float(window_s)
+        self.max_lanes = int(max_lanes)
+        self._cv = threading.Condition()
+        self._pending: list[_PendingDrag] = []
+        self._leader = False
+        self._last_seen: dict[int, float] = {}  # id(session) -> t of last drag
+        self._steps: dict = {}  # (config_key, n_lanes) -> (engine, step_fn)
+        self._steps_lock = threading.Lock()
+        self.stats = {"frames": 0, "ticks": 0, "coalesced_frames": 0,
+                      "max_group": 0}
+
+    # ------------------------------------------------------------------
+    def drag(self, session, tpos, trot) -> bytes:
+        req = _PendingDrag(session, tpos, trot)
+        now = time.monotonic()
+        with self._cv:
+            self._pending.append(req)
+            self._last_seen[id(session)] = now
+            # sessions that dragged within the last second are "live"
+            expected = sum(1 for t in self._last_seen.values()
+                           if now - t < 1.0)
+            lead = not self._leader
+            if lead:
+                self._leader = True
+            else:
+                self._cv.notify_all()  # leader may be waiting for quorum
+        if lead:
+            deadline = time.monotonic() + (self.window_s if expected > 1
+                                           else 0.0)
+            with self._cv:
+                while len(self._pending) < expected:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._pending
+                self._pending = []
+                self._leader = False
+            try:
+                self._execute(batch)
+            except Exception as e:  # defensive: never strand a waiter
+                for r in batch:
+                    if r.error is None and r.result is None:
+                        r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # ------------------------------------------------------------------
+    def _execute(self, batch: list) -> None:
+        groups: dict = {}
+        for r in batch:
+            if getattr(r.session, "_state", None) is None:
+                r.error = RuntimeError("drag_pose before init_drag_pose")
+                continue
+            groups.setdefault(r.session.config_key(), []).append(r)
+        st = self.stats
+        st["ticks"] += 1
+        st["frames"] += len(batch)
+        for key, grp in groups.items():
+            st["max_group"] = max(st["max_group"], len(grp))
+            if len(grp) == 1:
+                self._step_single(grp[0])
+            else:
+                st["coalesced_frames"] += len(grp)
+                for chunk in (grp[i : i + self.max_lanes]
+                              for i in range(0, len(grp), self.max_lanes)):
+                    self._step_group(key, chunk)
+
+    @staticmethod
+    def _step_single(r: _PendingDrag) -> None:
+        import numpy as np
+
+        try:
+            s = r.session
+            j = s.skeleton.n_joints
+            out_pose = np.zeros((j, 4), np.float32)
+            out_gp = np.zeros((1, 3), np.float32)
+            s.drag_pose(r.tpos, r.trot, out_pose, out_gp)
+            r.result = np.concatenate(
+                (out_pose.reshape(-1), out_gp.reshape(-1))
+            ).astype("<f4").tobytes()
+        except Exception as e:
+            r.error = e
+
+    def _step_group(self, key, grp: list) -> None:
+        """One device program for every session in ``grp`` (equal config)."""
+        import jax
+        import numpy as np
+
+        from dragposer_tpu.runtime.realtime import make_coalesced_step
+
+        try:
+            for r in grp:
+                r.session._ensure_engine()
+            n = len(grp)
+            n_lanes = 1
+            while n_lanes < n:
+                n_lanes *= 2
+            cache_key = (key, n_lanes)
+            with self._steps_lock:
+                if cache_key not in self._steps:
+                    engine = grp[0].session._engine
+                    self._steps[cache_key] = (
+                        engine, make_coalesced_step(engine, n_lanes))
+                engine, step = self._steps[cache_key]
+
+            j = grp[0].session.skeleton.n_joints
+            masks = np.zeros((n_lanes, j), np.float32)
+            weights = np.zeros((n_lanes, j, 2), np.float32)
+            tpos = np.zeros((n_lanes, j, 3), np.float32)
+            trot = np.zeros((n_lanes, j, 4), np.float32)
+            trot[:, :, 0] = 1.0
+            active = np.zeros((n_lanes,), bool)
+            states = []
+            for i, r in enumerate(grp):
+                s = r.session
+                masks[i] = s._mask
+                weights[i] = s._weights
+                tpos[i], trot[i] = s.dense_targets(r.tpos, r.trot)
+                active[i] = True
+                states.append(s._state)
+            states.extend(s._state for _ in range(n_lanes - n))  # padding
+
+            new_states, local, gp = step(
+                engine.model, masks, weights, tuple(states),
+                tpos, trot, active)
+            local, gp = jax.device_get((local, gp))
+            for i, r in enumerate(grp):
+                r.session._state = new_states[i]
+                r.result = np.concatenate(
+                    (np.asarray(local[i], np.float32).reshape(-1),
+                     np.asarray(gp[i], np.float32).reshape(-1))
+                ).astype("<f4").tobytes()
+        except Exception as e:
+            for r in grp:
+                if r.error is None:
+                    r.error = e
+
+
+def _handle_request(capi, op: int, payload: bytes,
+                    coalescer: DragCoalescer | None = None) -> bytes:
     """Dispatch one decoded request to the flat capi bridge."""
     if op == OP_PING:
         return b""
     if op == OP_EVAL_BATCH:
-        import json
-
         return json.dumps(_eval_batch(json.loads(payload))).encode()
+    if op == OP_STATS:
+        stats = dict(coalescer.stats) if coalescer is not None else {}
+        return json.dumps(stats).encode()
     if op == OP_INIT:
         return struct.pack("<q", capi.init())
     h = struct.unpack_from("<q", payload)[0]
@@ -147,24 +348,32 @@ def _handle_request(capi, op: int, payload: bytes) -> bytes:
         capi.set_global_pos(h, x, y, z)
         return b""
     if op == OP_DRAG_POSE:
+        import numpy as np
+
         (n_ee,) = struct.unpack_from("<i", body)
         pos = body[4 : 4 + 12 * n_ee]
         rot = body[4 + 12 * n_ee : 4 + 28 * n_ee]
-        return capi.drag_pose(h, pos, rot, n_ee)
+        if coalescer is None:
+            return capi.drag_pose(h, pos, rot, n_ee)
+        tpos = np.frombuffer(pos, dtype="<f4", count=3 * n_ee).reshape(n_ee, 3)
+        trot = np.frombuffer(rot, dtype="<f4", count=4 * n_ee).reshape(n_ee, 4)
+        return coalescer.drag(capi.get_session(h), tpos, trot)
     raise ValueError(f"unknown opcode {op}")
 
 
-class _Conn:
-    """Per-connection receive buffer + handle ownership."""
-
-    def __init__(self, sock: socket.socket):
-        self.sock = sock
-        self.buf = b""
-        self.handles: set[int] = set()
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("client closed")
+        buf += chunk
+    return buf
 
 
 def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float | None = None,
-          ready_fd: int | None = None) -> None:
+          ready_fd: int | None = None,
+          coalesce_window: float = 0.002) -> None:
     # Import (and thereby pay jax startup) before accepting connections.
     from dragposer_tpu.runtime import capi
 
@@ -174,70 +383,62 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float | None = None,
         pass
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(socket_path)
-    srv.listen(16)
-    srv.setblocking(False)
+    srv.listen(64)
+    srv.settimeout(1.0)
 
     if ready_fd is not None:  # tests: signal "listening" without polling
         os.write(ready_fd, b"1")
         os.close(ready_fd)
 
-    sel = selectors.DefaultSelector()
-    sel.register(srv, selectors.EVENT_READ, None)
-    conns: dict[socket.socket, _Conn] = {}
-    last_activity = time.monotonic()
+    coalescer = DragCoalescer(coalesce_window) if coalesce_window > 0 else None
+    state = {"n_conns": 0, "last_activity": time.monotonic()}
+    state_lock = threading.Lock()
 
-    def close_conn(c: _Conn) -> None:
-        sel.unregister(c.sock)
-        del conns[c.sock]
-        c.sock.close()
-        for h in c.handles:  # crashed clients must not leak engine state
-            capi.destroy(h)
-
-    while True:
-        events = sel.select(timeout=1.0)
-        if not events and idle_timeout is not None and not conns \
-                and time.monotonic() - last_activity > idle_timeout:
-            break
-        for key, _ in events:
-            last_activity = time.monotonic()
-            if key.data is None:  # the listening socket
-                s, _ = srv.accept()
-                s.setblocking(True)  # requests are handled synchronously
-                c = _Conn(s)
-                conns[s] = c
-                sel.register(s, selectors.EVENT_READ, c)
-                continue
-            c: _Conn = key.data
-            try:
-                chunk = c.sock.recv(1 << 16)
-            except ConnectionError:
-                chunk = b""
-            if not chunk:
-                close_conn(c)
-                continue
-            c.buf += chunk
-            while len(c.buf) >= 4:
-                (length,) = struct.unpack_from("<I", c.buf)
-                if len(c.buf) < 4 + length:
-                    break
-                op = c.buf[4]
-                payload = c.buf[5 : 4 + length]
-                c.buf = c.buf[4 + length :]
+    def client_thread(sock: socket.socket) -> None:
+        handles: set[int] = set()
+        try:
+            while True:
+                hdr = _recv_exact(sock, 4)
+                (length,) = struct.unpack("<I", hdr)
+                frame = _recv_exact(sock, length)
+                op, payload = frame[0], frame[1:]
                 try:
-                    out = _handle_request(capi, op, payload)
+                    out = _handle_request(capi, op, payload, coalescer)
                     if op == OP_INIT:
-                        c.handles.add(struct.unpack("<q", out)[0])
+                        handles.add(struct.unpack("<q", out)[0])
                     elif op == OP_DESTROY:
-                        c.handles.discard(struct.unpack_from("<q", payload)[0])
+                        handles.discard(struct.unpack_from("<q", payload)[0])
                     resp = struct.pack("<IB", len(out) + 1, 0) + out
                 except Exception as e:  # report, never kill the daemon
                     msg = f"{type(e).__name__}: {e}".encode()
                     resp = struct.pack("<IB", len(msg) + 1, 1) + msg
-                try:
-                    c.sock.sendall(resp)
-                except (BrokenPipeError, ConnectionError):
-                    close_conn(c)
-                    break
+                sock.sendall(resp)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            sock.close()
+            for h in handles:  # crashed clients must not leak engine state
+                capi.destroy(h)
+            with state_lock:
+                state["n_conns"] -= 1
+                state["last_activity"] = time.monotonic()
+
+    while True:
+        try:
+            sock, _ = srv.accept()
+        except socket.timeout:
+            with state_lock:
+                idle = (state["n_conns"] == 0 and idle_timeout is not None
+                        and time.monotonic() - state["last_activity"]
+                        > idle_timeout)
+            if idle:
+                break
+            continue
+        with state_lock:
+            state["n_conns"] += 1
+            state["last_activity"] = time.monotonic()
+        threading.Thread(target=client_thread, args=(sock,),
+                         daemon=True).start()
 
     srv.close()
     try:
@@ -253,11 +454,15 @@ def main(argv=None):
     p.add_argument("--idle-timeout", type=float, default=None,
                    help="exit after this many seconds with no client "
                         "connected (auto-spawned daemons pass 300)")
+    p.add_argument("--coalesce-window", type=float, default=0.002,
+                   help="max seconds the tick leader waits for other live "
+                        "clients' frames before stepping the coalesced "
+                        "batch; 0 disables coalescing")
     p.add_argument("--ready-fd", type=int, default=None,
                    help="fd to write one byte to once listening")
     args = p.parse_args(argv)
     serve(args.socket, idle_timeout=args.idle_timeout,
-          ready_fd=args.ready_fd)
+          ready_fd=args.ready_fd, coalesce_window=args.coalesce_window)
 
 
 if __name__ == "__main__":
