@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dragposer_tpu.ops import ff_fused, hash_dropout
+
 # Default (fast) matmul precision: the predictor produces *guidance targets*
 # (λ_temporal ≤ 0.15); the numerically sensitive path (decoder+FK) keeps
 # precision=highest.  Measured: highest costs ~6× on the rollout's
@@ -219,14 +221,20 @@ def _attention(p, q_in, kv_in, n_heads: int, mask=None, dot=_rowdot_impl):
     return dot(out, p["out_w"], p["out_b"])
 
 
-def _ff(p, x, rate, key, train, dot=_rowdot_impl):
+def _ff(p, x, rate, key, train, dot=_rowdot_impl, fused: bool = False):
+    if fused and train:
+        # Pallas fused FF1+ReLU+dropout+FF2: the (rows, 2048) hidden and its
+        # mask never touch HBM (see ops/ff_fused.py) — the dominant cost of
+        # the training step under plain XLA.
+        return ff_fused.ff_dropout(x, p["ff1"], p["ff2"], rate, key)
     h = jax.nn.relu(dot(x, p["ff1"]["w"], p["ff1"]["b"]))
     h = _dropout(h, rate, key, train)
     return dot(h, p["ff2"]["w"], p["ff2"]["b"])
 
 
 def forward(params, param, latent, latent_target, tgt_mask=None, *,
-            train: bool = False, rng: Optional[jax.Array] = None):
+            train: bool = False, rng: Optional[jax.Array] = None,
+            fused_ff: bool = False):
     """Seq2seq pass.
 
     latent:        (..., S_past, latent_dim + 3 + heights)  encoder tokens
@@ -257,7 +265,7 @@ def forward(params, param, latent, latent_target, tgt_mask=None, *,
     for lp in params["enc_layers"]:
         a = _attention(lp["self_attn"], src, src, h, dot=dot)
         src = _layer_norm(src + _dropout(a, rate, nk(), train), lp["ln1"])
-        f = _ff(lp, src, rate, nk(), train, dot=dot)
+        f = _ff(lp, src, rate, nk(), train, dot=dot, fused=fused_ff)
         src = _layer_norm(src + _dropout(f, rate, nk(), train), lp["ln2"])
     memory = _layer_norm(src, params["enc_norm"])
 
@@ -267,7 +275,7 @@ def forward(params, param, latent, latent_target, tgt_mask=None, *,
         tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln1"])
         a = _attention(lp["cross_attn"], tgt, memory, h, dot=dot)
         tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln2"])
-        f = _ff(lp, tgt, rate, nk(), train, dot=dot)
+        f = _ff(lp, tgt, rate, nk(), train, dot=dot, fused=fused_ff)
         tgt = _layer_norm(tgt + _dropout(f, rate, nk(), train), lp["ln3"])
     out = _layer_norm(tgt, params["dec_norm"])
 
@@ -323,8 +331,26 @@ def _attn_T(p, q_in, kv_in, n_heads: int, mask=None):
             + p["out_b"][None, :, None])
 
 
-def forward_T(params, param, latentT, latent_targetT, tgt_mask=None):
-    """Inference-only transposed forward: batch in the minor dimension.
+def _ff_T(lp, x, rate, seed, train, fused: bool):
+    """Feed-forward on (S, D, B) activations.  ``seed``: scalar int32.
+
+    fused: the lanes-native Pallas kernel (ops/ff_fused.ff_dropout_lanes)
+    consumes (S, D, B) column tiles directly — the (S·B, 2048) hidden and
+    its mask never touch HBM, and (unlike routing through the rows
+    kernel) there are NO layout transposes: a trace showed the
+    (S,D,B)↔(S,B,D) copies costing ~9 ms of a 21 ms B=4096 train step.
+    """
+    if fused and train:
+        return ff_fused.ff_dropout_lanes(x, lp["ff1"], lp["ff2"], rate, seed)
+    h = jax.nn.relu(_lin_T(x, lp["ff1"]))
+    h = hash_dropout.dropout(h, rate, seed, train)
+    return _lin_T(h, lp["ff2"])
+
+
+def forward_T(params, param, latentT, latent_targetT, tgt_mask=None, *,
+              train: bool = False, rng: Optional[jax.Array] = None,
+              fused_ff: bool = False):
+    """Transposed forward: batch in the minor (lane) dimension.
 
     latentT:        (S_past, latent_dim + 3 + heights, B) encoder tokens
     latent_targetT: (S_fut, latent_dim, B)                decoder tokens
@@ -333,31 +359,49 @@ def forward_T(params, param, latentT, latent_targetT, tgt_mask=None):
     run as f32 VPU multiply-reduces instead of bf16-pass dot_generals
     (both faster AND tighter; see ``_attn_T``).  Token/feature elementwise
     work runs at full 128-lane width with B in lanes instead of
-    d_model=48.  ~2× the vmapped forward at B=2048.  No dropout
-    (inference); no custom_vmap needed (nothing is vmapped over).
+    d_model=48.  ~2× the vmapped forward at B=2048.
+
+    train=True adds dropout at the same sites as ``forward`` (masks are
+    independent draws — layouts agree in distribution, and exactly when
+    rate is 0); this is the TPU training layout used by
+    ``train/temporal._teacher_forced_loss(layout="lanes")``.  Masks here
+    are counter-hash (ops/hash_dropout.py) — ONE tiny threefry draw per
+    step for the per-site seeds, then iota-hash masks that fuse into
+    their consuming selects (``jax.random.bernoulli`` per site was
+    5.9 ms of the 25.5 ms B=4096 train step).
     """
     d = param["features_transformer"]
     h = param["n_heads"]
+    rate = param["dropout"]
     max_len = len(param["past_frames"]) + len(param["future_frames"])
     pe = positional_encoding(max_len, d)
 
-    src = _lin_T(latentT, params["in_proj_enc"])
+    if train:
+        seeds = iter(hash_dropout.seeds_for(rng, 64))
+        nk = lambda: next(seeds)  # noqa: E731
+    else:
+        nk = lambda: None  # noqa: E731
+    drop = lambda x, s: hash_dropout.dropout(x, rate, s, train)  # noqa: E731
+
+    src = drop(latentT, nk())                         # in_dropout (enc only)
+    src = _lin_T(src, params["in_proj_enc"])
     tgt = _lin_T(latent_targetT, params["in_proj_dec"])
-    src = src + pe[: src.shape[0], :, None]
-    tgt = tgt + pe[: tgt.shape[0], :, None]
+    src = drop(src + pe[: src.shape[0], :, None], nk())
+    tgt = drop(tgt + pe[: tgt.shape[0], :, None], nk())
 
     for lp in params["enc_layers"]:
-        src = _ln_T(src + _attn_T(lp["self_attn"], src, src, h), lp["ln1"])
-        f = _lin_T(jax.nn.relu(_lin_T(src, lp["ff1"])), lp["ff2"])
-        src = _ln_T(src + f, lp["ln2"])
+        a = _attn_T(lp["self_attn"], src, src, h)
+        src = _ln_T(src + drop(a, nk()), lp["ln1"])
+        f = _ff_T(lp, src, rate, nk(), train, fused_ff)
+        src = _ln_T(src + drop(f, nk()), lp["ln2"])
     memory = _ln_T(src, params["enc_norm"])
 
     for lp in params["dec_layers"]:
-        tgt = _ln_T(tgt + _attn_T(lp["self_attn"], tgt, tgt, h,
-                                  mask=tgt_mask), lp["ln1"])
-        tgt = _ln_T(tgt + _attn_T(lp["cross_attn"], tgt, memory, h),
-                    lp["ln2"])
-        f = _lin_T(jax.nn.relu(_lin_T(tgt, lp["ff1"])), lp["ff2"])
-        tgt = _ln_T(tgt + f, lp["ln3"])
+        a = _attn_T(lp["self_attn"], tgt, tgt, h, mask=tgt_mask)
+        tgt = _ln_T(tgt + drop(a, nk()), lp["ln1"])
+        a = _attn_T(lp["cross_attn"], tgt, memory, h)
+        tgt = _ln_T(tgt + drop(a, nk()), lp["ln2"])
+        f = _ff_T(lp, tgt, rate, nk(), train, fused_ff)
+        tgt = _ln_T(tgt + drop(f, nk()), lp["ln3"])
     out = _ln_T(tgt, params["dec_norm"])
     return _lin_T(out, params["out_proj"])

@@ -24,6 +24,7 @@ import optax
 from dragposer_tpu import config as cfg
 from dragposer_tpu.data import datasets
 from dragposer_tpu.models import checkpoint, temporal as tmodel, vae
+from dragposer_tpu.ops import hash_dropout
 
 LIMBS = tuple(tuple(v) for v in cfg.LIMB_INDICES.values())
 
@@ -52,55 +53,100 @@ def compute_latent_stats(vae_params, statics, key, data: datasets.TemporalTrainD
 
 
 def _limb_noise(key, dqs_past, mean_dqs, std_dqs, prob):
-    """Randomly replace whole limbs in all-but-last past frames with noise."""
+    """Randomly replace whole limbs in all-but-last past frames with noise.
+
+    Vectorized over limbs: limbs are disjoint joint sets (cfg.LIMB_INDICES),
+    so per-limb sequential overwrite ≡ one masked select with a per-joint
+    replace flag — no per-limb scatter chain (the reference's loop,
+    ``train_temporal.py:192-217``, is per-batch Python; distribution is
+    identical: each limb independently replaced w.p. ``prob``)."""
     b, p, c = dqs_past.shape
     dq = dqs_past.reshape(b, p, -1, 8)
-    keys = jax.random.split(key, 2 * len(LIMBS))
+    j = dq.shape[2]
+    # static per-joint limb membership: limb_of[j] = limb index or n_limbs
+    limb_of = np.full(j, len(LIMBS), dtype=np.int32)
     for i, limb in enumerate(LIMBS):
-        idx = jnp.asarray(limb)
-        apply = jax.random.uniform(keys[2 * i]) < prob
-        noise = (
-            jax.random.normal(keys[2 * i + 1], (b, p - 1, len(limb), 8))
-            * std_dqs.reshape(-1, 8)[idx]
-            + mean_dqs.reshape(-1, 8)[idx]
-        )
-        replaced = dq.at[:, :-1, idx, :].set(noise)
-        dq = jnp.where(apply, replaced, dq)
+        limb_of[np.asarray(limb)] = i
+    k_apply, k_noise = jax.random.split(key)
+    applies = jax.random.uniform(k_apply, (len(LIMBS),)) < prob
+    replace_j = jnp.concatenate((applies, jnp.zeros(1, bool)))[limb_of]
+    seed = jax.random.randint(k_noise, (), 0, 2**31 - 1, jnp.int32)
+
+    def noised(dq):
+        noise = (hash_dropout.normal((b, p - 1, j, 8), seed)
+                 * std_dqs.reshape(-1, 8) + mean_dqs.reshape(-1, 8))
+        head = jnp.where(replace_j[None, None, :, None], noise, dq[:, :-1])
+        return jnp.concatenate((head, dq[:, -1:]), axis=1)
+
+    # P(no limb fires) = (1-prob)^4 ≈ 0.66 at prob 0.1: skip the whole
+    # noise draw on those steps (top-level step — lax.cond executes one
+    # branch on TPU, unlike under vmap)
+    dq = jax.lax.cond(jnp.any(applies), noised, lambda d: d, dq)
     return dq.reshape(b, p, c)
 
 
 def _teacher_forced_loss(tparams, param, latents, latents_future, disp_acc,
-                         heights, means_latent, stds_latent, *, train, rng):
+                         heights, means_latent, stds_latent, *, train, rng,
+                         fused_ff: bool = False, layout: str = "rows"):
+    """MSE of the teacher-forced predictor (``train_temporal.py:219-268``).
+
+    fused_ff: route the 2048-wide feed-forwards through the Pallas fused
+    kernel (ops/ff_fused.py) — training-mode only.
+    layout="lanes": run the TRANSPOSED model (batch in the minor/lane
+    dimension, ``tmodel.forward_T``) — the TPU training layout.  Same loss
+    as "rows" in expectation (exactly, when dropout is 0; dropout masks
+    are independent draws otherwise).
+    """
     lat = (latents - means_latent) / stds_latent
     lat_t = (latents_future - means_latent) / stds_latent
     enc_tokens = jnp.concatenate((lat, disp_acc, heights), axis=-1)
     enc_in = enc_tokens[:, :-1, :]
     dec_in = jnp.concatenate((lat[:, -1:, :], lat_t[:, :-1, :]), axis=1)
     mask = tmodel.causal_mask(dec_in.shape[1])
+    if layout == "lanes":
+        out_T = tmodel.forward_T(tparams, param,
+                                 jnp.transpose(enc_in, (1, 2, 0)),
+                                 jnp.transpose(dec_in, (1, 2, 0)),
+                                 tgt_mask=mask, train=train, rng=rng,
+                                 fused_ff=fused_ff)
+        return jnp.mean((out_T - jnp.transpose(lat_t, (1, 2, 0))) ** 2)
     out = tmodel.forward(tparams, param, enc_in, dec_in, tgt_mask=mask,
-                         train=train, rng=rng)
+                         train=train, rng=rng, fused_ff=fused_ff)
     return jnp.mean((out - lat_t) ** 2)
 
 
-def make_train_step(vae_params, statics, param, optimizer):
+def make_train_step(vae_params, statics, param, optimizer, *,
+                    fused_ff: bool | None = None, layout: str | None = None):
+    """Jitted training step.  On TPU the defaults switch to the fused-FF
+    Pallas kernel and the batch-in-lanes transposed layout (measured 4×+
+    the plain rows/XLA step at B=4096); elsewhere they keep the plain
+    formulation (the Pallas interpret path is slow on CPU)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if fused_ff is None:
+        fused_ff = on_tpu
+    if layout is None:
+        layout = "lanes" if on_tpu else "rows"
     prob = param["limbs_random_prob"]
 
     @jax.jit
     def step(tparams, opt_state, key, dqs_past, dqs_future, disp_acc, heights,
              mean_dqs, std_dqs, means_latent, stds_latent):
-        k_aug, k_enc1, k_enc2, k_drop = jax.random.split(key, 4)
+        k_aug, k_enc, k_drop = jax.random.split(key, 3)
         dqs_past = _limb_noise(k_aug, dqs_past, mean_dqs, std_dqs, prob)
-        latents = jax.lax.stop_gradient(
-            _encode_windows(vae_params, statics, k_enc1, dqs_past)
-        )
-        latents_future = jax.lax.stop_gradient(
-            _encode_windows(vae_params, statics, k_enc2, dqs_future)
-        )
+        # past+future through ONE frozen-VAE encode (the two window sets
+        # are one big row batch after the reshape — measured: two calls
+        # cost ~2× one at B=4096)
+        both = jax.lax.stop_gradient(_encode_windows(
+            vae_params, statics, k_enc,
+            jnp.concatenate((dqs_past, dqs_future), axis=1)))
+        p = dqs_past.shape[1]
+        latents, latents_future = both[:, :p], both[:, p:]
 
         def loss(tp):
             return _teacher_forced_loss(
                 tp, param, latents, latents_future, disp_acc, heights,
                 means_latent, stds_latent, train=True, rng=k_drop,
+                fused_ff=fused_ff, layout=layout,
             )
 
         value, grads = jax.value_and_grad(loss)(tparams)
@@ -115,9 +161,11 @@ def make_eval_step(vae_params, statics, param):
     @jax.jit
     def step(tparams, key, dqs_past, dqs_future, disp_acc, heights,
              means_latent, stds_latent):
-        k1, k2 = jax.random.split(key)
-        latents = _encode_windows(vae_params, statics, k1, dqs_past)
-        latents_future = _encode_windows(vae_params, statics, k2, dqs_future)
+        both = _encode_windows(
+            vae_params, statics, key,
+            jnp.concatenate((dqs_past, dqs_future), axis=1))
+        p = dqs_past.shape[1]
+        latents, latents_future = both[:, :p], both[:, p:]
         return _teacher_forced_loss(
             tparams, param, latents, latents_future, disp_acc, heights,
             means_latent, stds_latent, train=False, rng=None,
