@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dragposer_tpu.ops import ff_fused, hash_dropout
+from dragposer_tpu.ops import attn_fused, ff_fused, hash_dropout
 
 # Default (fast) matmul precision: the predictor produces *guidance targets*
 # (λ_temporal ≤ 0.15); the numerically sensitive path (decoder+FK) keeps
@@ -304,7 +304,7 @@ def _ln_T(x, p, eps: float = 1e-5):
         + p["b"][None, :, None]
 
 
-def _attn_T(p, q_in, kv_in, n_heads: int, mask=None):
+def _attn_T(p, q_in, kv_in, n_heads: int, mask=None, fused: bool = False):
     d = q_in.shape[1]
     dh = d // n_heads
     wq, wk, wv = jnp.split(p["in_w"], 3, axis=0)
@@ -315,17 +315,24 @@ def _attn_T(p, q_in, kv_in, n_heads: int, mask=None):
          + bk[None, :, None]).reshape(kv_in.shape[0], n_heads, dh, -1)
     v = (jnp.einsum("oi,sib->sob", wv, kv_in, precision=_PRECISION)
          + bv[None, :, None]).reshape(kv_in.shape[0], n_heads, dh, -1)
-    # The tiny per-head contractions (S ≤ 15, dh = 12) as broadcast
-    # multiply-REDUCES, not dot_generals: XLA lowers trailing-batch
-    # dot_generals of this size through layout transposes and per-batch
-    # micro-GEMMs (~440 µs/layer at B=2048); the fused mul-reduce is pure
-    # VPU, measures 2.75× faster — and contracts in f32 (the dots used
-    # bf16 passes).
-    s = (q[:, None] * k[None, :]).sum(axis=3) / math.sqrt(dh)  # (Sq,Sk,h,B)
-    if mask is not None:
-        s = s + mask[:, :, None, None]
-    a = jax.nn.softmax(s, axis=1)
-    o = (a[:, :, :, None] * v[None]).sum(axis=1)               # (Sq,h,dh,B)
+    if fused:
+        # Training path: one Pallas pass, scores/softmax VMEM-resident
+        # (ops/attn_fused.py) — the XLA mul-reduce fusions below were
+        # 7.1 ms of the 21 ms B=4096 train step (~8× the roofline).
+        o = attn_fused.attn_core_lanes(q, k, v, mask)
+    else:
+        # The tiny per-head contractions (S ≤ 15, dh = 12) as broadcast
+        # multiply-REDUCES, not dot_generals: XLA lowers trailing-batch
+        # dot_generals of this size through layout transposes and
+        # per-batch micro-GEMMs (~440 µs/layer at B=2048); the fused
+        # mul-reduce is pure VPU, measures 2.75× faster — and contracts
+        # in f32 (the dots used bf16 passes).  This is the INFERENCE
+        # arithmetic, part of the locked parity record (PARITY.json).
+        s = (q[:, None] * k[None, :]).sum(axis=3) / math.sqrt(dh)
+        if mask is not None:
+            s = s + mask[:, :, None, None]                 # (Sq,Sk,h,B)
+        a = jax.nn.softmax(s, axis=1)
+        o = (a[:, :, :, None] * v[None]).sum(axis=1)       # (Sq,h,dh,B)
     o = o.reshape(q_in.shape[0], d, -1)
     return (jnp.einsum("oi,sib->sob", p["out_w"], o, precision=_PRECISION)
             + p["out_b"][None, :, None])
@@ -349,7 +356,7 @@ def _ff_T(lp, x, rate, seed, train, fused: bool):
 
 def forward_T(params, param, latentT, latent_targetT, tgt_mask=None, *,
               train: bool = False, rng: Optional[jax.Array] = None,
-              fused_ff: bool = False):
+              fused_ff: bool = False, fused_attn: bool = False):
     """Transposed forward: batch in the minor (lane) dimension.
 
     latentT:        (S_past, latent_dim + 3 + heights, B) encoder tokens
@@ -390,16 +397,17 @@ def forward_T(params, param, latentT, latent_targetT, tgt_mask=None, *,
     tgt = drop(tgt + pe[: tgt.shape[0], :, None], nk())
 
     for lp in params["enc_layers"]:
-        a = _attn_T(lp["self_attn"], src, src, h)
+        a = _attn_T(lp["self_attn"], src, src, h, fused=fused_attn)
         src = _ln_T(src + drop(a, nk()), lp["ln1"])
         f = _ff_T(lp, src, rate, nk(), train, fused_ff)
         src = _ln_T(src + drop(f, nk()), lp["ln2"])
     memory = _ln_T(src, params["enc_norm"])
 
     for lp in params["dec_layers"]:
-        a = _attn_T(lp["self_attn"], tgt, tgt, h, mask=tgt_mask)
+        a = _attn_T(lp["self_attn"], tgt, tgt, h, mask=tgt_mask,
+                    fused=fused_attn)
         tgt = _ln_T(tgt + drop(a, nk()), lp["ln1"])
-        a = _attn_T(lp["cross_attn"], tgt, memory, h)
+        a = _attn_T(lp["cross_attn"], tgt, memory, h, fused=fused_attn)
         tgt = _ln_T(tgt + drop(a, nk()), lp["ln2"])
         f = _ff_T(lp, tgt, rate, nk(), train, fused_ff)
         tgt = _ln_T(tgt + drop(f, nk()), lp["ln3"])

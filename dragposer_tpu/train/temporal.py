@@ -87,7 +87,8 @@ def _limb_noise(key, dqs_past, mean_dqs, std_dqs, prob):
 
 def _teacher_forced_loss(tparams, param, latents, latents_future, disp_acc,
                          heights, means_latent, stds_latent, *, train, rng,
-                         fused_ff: bool = False, layout: str = "rows"):
+                         fused_ff: bool = False, fused_attn: bool = False,
+                         layout: str = "rows"):
     """MSE of the teacher-forced predictor (``train_temporal.py:219-268``).
 
     fused_ff: route the 2048-wide feed-forwards through the Pallas fused
@@ -108,7 +109,7 @@ def _teacher_forced_loss(tparams, param, latents, latents_future, disp_acc,
                                  jnp.transpose(enc_in, (1, 2, 0)),
                                  jnp.transpose(dec_in, (1, 2, 0)),
                                  tgt_mask=mask, train=train, rng=rng,
-                                 fused_ff=fused_ff)
+                                 fused_ff=fused_ff, fused_attn=fused_attn)
         return jnp.mean((out_T - jnp.transpose(lat_t, (1, 2, 0))) ** 2)
     out = tmodel.forward(tparams, param, enc_in, dec_in, tgt_mask=mask,
                          train=train, rng=rng, fused_ff=fused_ff)
@@ -116,14 +117,19 @@ def _teacher_forced_loss(tparams, param, latents, latents_future, disp_acc,
 
 
 def make_train_step(vae_params, statics, param, optimizer, *,
-                    fused_ff: bool | None = None, layout: str | None = None):
+                    fused_ff: bool | None = None,
+                    fused_attn: bool | None = None,
+                    layout: str | None = None):
     """Jitted training step.  On TPU the defaults switch to the fused-FF
-    Pallas kernel and the batch-in-lanes transposed layout (measured 4×+
-    the plain rows/XLA step at B=4096); elsewhere they keep the plain
-    formulation (the Pallas interpret path is slow on CPU)."""
+    and fused-attention Pallas kernels and the batch-in-lanes transposed
+    layout (measured 5×+ the plain rows/XLA step at B=4096); elsewhere
+    they keep the plain formulation (the Pallas interpret path is slow
+    on CPU)."""
     on_tpu = jax.default_backend() == "tpu"
     if fused_ff is None:
         fused_ff = on_tpu
+    if fused_attn is None:
+        fused_attn = on_tpu
     if layout is None:
         layout = "lanes" if on_tpu else "rows"
     prob = param["limbs_random_prob"]
@@ -146,7 +152,7 @@ def make_train_step(vae_params, statics, param, optimizer, *,
             return _teacher_forced_loss(
                 tp, param, latents, latents_future, disp_acc, heights,
                 means_latent, stds_latent, train=True, rng=k_drop,
-                fused_ff=fused_ff, layout=layout,
+                fused_ff=fused_ff, fused_attn=fused_attn, layout=layout,
             )
 
         value, grads = jax.value_and_grad(loss)(tparams)

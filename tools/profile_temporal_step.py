@@ -97,7 +97,8 @@ def main():
     latents = jnp.asarray(rng.normal(size=(b, p, 24)), jnp.float32)
     latents_future = jnp.asarray(rng.normal(size=(b, f, 24)), jnp.float32)
 
-    def make_txf(fused, param_override=None, layout="rows", remat=None):
+    def make_txf(fused, param_override=None, layout="rows", remat=None,
+                 fused_attn=False):
         pp = param_override or tparam
 
         @jax.jit
@@ -106,7 +107,9 @@ def main():
                 return tt._teacher_forced_loss(q, pp, latents, latents_future,
                                                disp_acc, heights, ml, sl,
                                                train=True, rng=k,
-                                               fused_ff=fused, layout=layout)
+                                               fused_ff=fused,
+                                               fused_attn=fused_attn,
+                                               layout=layout)
             if remat is not None:
                 loss = jax.checkpoint(loss, policy=remat)
             v, g = jax.value_and_grad(loss)(tp)
@@ -121,12 +124,9 @@ def main():
     print(f"txf fused-ff     : {dt_tf*1e3:8.2f} ms ({b/dt_tf:9.0f} windows/s)")
     dt_lane = timeit(make_txf(True, layout="lanes"), tparams, topt_state, key)
     print(f"txf lanes+fused  : {dt_lane*1e3:8.2f} ms ({b/dt_lane:9.0f} windows/s)")
-    for pol_name in ("dots_saveable", "nothing_saveable"):
-        pol = getattr(jax.checkpoint_policies, pol_name)
-        dt_r = timeit(make_txf(True, layout="lanes", remat=pol),
-                      tparams, topt_state, key)
-        print(f"lanes remat {pol_name[:5]}: {dt_r*1e3:8.2f} ms "
-              f"({b/dt_r:9.0f} windows/s)")
+    dt_la = timeit(make_txf(True, layout="lanes", fused_attn=True),
+                   tparams, topt_state, key)
+    print(f"lanes+fused+attn : {dt_la*1e3:8.2f} ms ({b/dt_la:9.0f} windows/s)")
     dt_lx = timeit(make_txf(False, layout="lanes"), tparams, topt_state, key)
     print(f"txf lanes xla-ff : {dt_lx*1e3:8.2f} ms ({b/dt_lx:9.0f} windows/s)")
     nodrop = dict(tparam, dropout=0.0)
