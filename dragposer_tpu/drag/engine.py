@@ -291,6 +291,75 @@ def _temporal_rollout_core_T(model: DragModel, hyper: DragHyper, tparam,
                                            step))]
 
 
+def rollout_lane_budget(batch: int, window: int) -> int:
+    """Static sub-batch size for :func:`_rollout_where_needed`: a lane's
+    ``current_index`` cycles mod ``window`` frames, so in steady state
+    ~B/W lanes cross a window boundary per frame; 2× that (rounded up to
+    8) absorbs phase clustering before the full-batch fallback kicks in.
+    window ≤ 1 (rollout consumed every frame) returns ``batch`` — no
+    amortization exists."""
+    per_frame = max(1, (batch * 2 + window - 1) // max(window, 1))
+    r = ((per_frame + 7) // 8) * 8
+    return min(batch, max(r, 8))
+
+
+def _rollout_where_needed(model: DragModel, hyper: DragHyper, tparam,
+                          lat, disp_acc, heights, token0, need,
+                          target_buffer):
+    """Windowed-config rollout amortization (the begin path computes the
+    W-frame rollout but 1-of-W frames consumes it): run the transformer
+    only for lanes where ``need``, returning ``target_buffer`` with those
+    lanes' rows replaced.
+
+    Mechanics: ``top_k`` picks up to R needing lanes (R static, from
+    :func:`rollout_lane_budget`); their inputs are row-GATHERED (cheap on
+    TPU — it is per-lane scatters that serialize), the sub-batch runs the
+    same ``_temporal_rollout_core_T`` (per-lane arithmetic is batch-
+    independent, so results are bitwise equal to the full-batch rollout),
+    and one ``.at[idx].set`` row-scatter writes the R rows back.  When
+    MORE than R lanes need a rollout (first frames, phase clustering),
+    fall back to the full-batch rollout — never wrong, just unamortized.
+    """
+    B = token0.shape[0]
+    r = rollout_lane_budget(B, hyper.temporal_future_window)
+    if r >= B:
+        new_buffer = _temporal_rollout_core_T(model, hyper, tparam, lat,
+                                              disp_acc, heights, token0)
+        return jnp.where(need[:, None, None], new_buffer, target_buffer)
+
+    n_need = jnp.sum(need.astype(jnp.int32))
+
+    def full(args):
+        lat, disp_acc, heights, token0, need, tbuf = args
+        nb = _temporal_rollout_core_T(model, hyper, tparam, lat, disp_acc,
+                                      heights, token0)
+        return jnp.where(need[:, None, None], nb, tbuf)
+
+    def sub(args):
+        lat, disp_acc, heights, token0, need, tbuf = args
+        _, idx = jax.lax.top_k(need.astype(jnp.int32), r)   # unique lanes
+        sel = need[idx]                                     # (r,) valid picks
+        nb_r = _temporal_rollout_core_T(
+            model, hyper, tparam,
+            jnp.take(lat, idx, axis=0), jnp.take(disp_acc, idx, axis=0),
+            jnp.take(heights, idx, axis=0), jnp.take(token0, idx, axis=0))
+        # invalid picks write their lane's EXISTING rows back (exact no-op
+        # even when idx repeats lane 0 for padding)
+        nb_r = jnp.where(sel[:, None, None], nb_r,
+                         jnp.take(tbuf, idx, axis=0))
+        return tbuf.at[idx].set(nb_r)
+
+    def none_needed(args):
+        return args[5]
+
+    args = (lat, disp_acc, heights, token0, need, target_buffer)
+    # three regimes: nobody at a boundary (lockstep crowds between
+    # boundaries) → no rollout at all; ≤ R lanes → sub-batch; else full
+    return jax.lax.cond(
+        n_need == 0, none_needed,
+        lambda a: jax.lax.cond(n_need > r, full, sub, a), args)
+
+
 # ---------------------------------------------------------------------------
 # The per-frame loss (differentiated w.r.t. the latent)
 # ---------------------------------------------------------------------------

@@ -232,19 +232,20 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
     H = states.heights_buffer.shape[-1]
     P = states.latent_buffer.shape[1]
 
-    def begin_all(state_b):
+    def begin_all(state_b, began):
         """Batched flat-state equivalent of ``engine._begin_frame``: the
         buffer sampling is vmapped lane gathers; the transformer rollout
-        runs whole-batch in transposed layout (``forward_T``)."""
+        runs in transposed layout (``forward_T``) — and, for windowed
+        configs, only for the ``began & current_index == 0`` sub-batch
+        (``engine._rollout_where_needed``): at window W, (W-1)/W of
+        whole-batch rollouts would be computed and discarded."""
         if not hyper.use_temporal:
             return state_b.target_buffer, jnp.zeros_like(state_b.latent)
         lat, disp_acc, heights, token0 = jax.vmap(
             lambda s: _rollout_inputs_flat(s, hyper, L, H))(state_b)
-        new_buffer = eng._temporal_rollout_core_T(
-            model, hyper, tparam, lat, disp_acc, heights, token0)
-        target_buffer = jnp.where(
-            (state_b.current_index == 0)[:, None, None], new_buffer,
-            state_b.target_buffer)
+        target_buffer = eng._rollout_where_needed(
+            model, hyper, tparam, lat, disp_acc, heights, token0,
+            began & (state_b.current_index == 0), state_b.target_buffer)
         target_latent = jax.vmap(lambda tb, ci: tb[ci])(
             target_buffer, state_b.current_index)
         return target_buffer, target_latent
@@ -291,7 +292,7 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
     # Prologue: every lane begins frame 0.
     # ------------------------------------------------------------------
     fstates = _flatten_state(states)
-    tbuf0, tlat0 = begin_all(fstates)
+    tbuf0, tlat0 = begin_all(fstates, jnp.ones((B,), bool))
     tpos0, trot0 = targets_all(fstates, jnp.zeros((B,), jnp.int32))
     opt0 = opt_init_b(states.latent)
     outs0 = _CompactOuts(
@@ -355,7 +356,7 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
 
         # Advanced lanes BEGIN their next frame (rollout + GT targets +
         # fresh Adam); others keep their in-flight values.
-        tbuf_new, tlat_new = begin_all(state)
+        tbuf_new, tlat_new = begin_all(state, done)
         target_buffer = _select(done, tbuf_new, c.target_buffer)
         target_latent = _select(done, tlat_new, c.target_latent)
 

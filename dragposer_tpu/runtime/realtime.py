@@ -312,14 +312,18 @@ def make_batched_step(engine):
         n = state_b.latent.shape[0]
         trot = jax.vmap(quat.to_matrix)(trot_quats)
 
-        # begin: whole-batch transposed rollout + per-lane target gate
-        lat, disp_acc, hts, tok0 = jax.vmap(
-            lambda s: eng._rollout_inputs(s, hyper))(state_b)
+        # begin: transposed rollout for the sub-batch of avatars at a
+        # window boundary (current_index == 0) — at window W a whole-
+        # batch rollout would discard (W-1)/W of its work.  Lockstep
+        # crowds (everyone at index 0, e.g. all avatars spawned on the
+        # same frame) hit the full-batch fallback; staggered/organic
+        # crowds pay ~B/W lanes per frame.
         if hyper.use_temporal:
-            nb = eng._temporal_rollout_core_T(
-                model_b, hyper, tparam, lat, disp_acc, hts, tok0)
-            tbuf = jnp.where((state_b.current_index == 0)[:, None, None],
-                             nb, state_b.target_buffer)
+            lat, disp_acc, hts, tok0 = jax.vmap(
+                lambda s: eng._rollout_inputs(s, hyper))(state_b)
+            tbuf = eng._rollout_where_needed(
+                model_b, hyper, tparam, lat, disp_acc, hts, tok0,
+                state_b.current_index == 0, state_b.target_buffer)
             tlat = jax.vmap(lambda tb, ci: tb[ci])(
                 tbuf, state_b.current_index)
         else:

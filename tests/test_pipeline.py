@@ -151,3 +151,104 @@ def test_pipelined_ragged_lengths(example_bvh_path):
         # padded tail untouched
         assert (it_o[i, L:] == 0).all()
         np.testing.assert_array_equal(po[i, L:], 0.0)
+
+
+def test_rollout_where_needed_matches_full(example_bvh_path):
+    """Sub-batch rollout (gather → rollout → row-scatter) equals the
+    full-batch rollout with a per-lane select, in both regimes: n_need ≤
+    budget (sub-batch path) and n_need > budget (fallback).  Equality is
+    ulp-tight, not bitwise: XLA vectorizes the (R, ·) and (B, ·) batches
+    differently (SIMD remainders on CPU, lane tiling on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
+    from dragposer_tpu.drag import engine as eng
+    from dragposer_tpu.ops.topology import Skeleton
+
+    # the reference model dir has no temporal net (use_temporal silently
+    # degrades); the repo's example model dir carries temporal.npz
+    bvh = BVH().load(example_bvh_path)
+    _, _, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    sk = Skeleton.build(parents, offsets, bvh.names)
+    engine, _, _ = build_engine(
+        "models/model_dancedb_example", parents, resolve_config("4_trackers"),
+        use_temporal=True, skeleton=sk, max_iter=4)
+    model, hyper, tparam = engine.model, engine.hyper, engine.tparam
+    assert hyper.use_temporal and model.temporal is not None
+
+    B = 24
+    r = eng.rollout_lane_budget(B, hyper.temporal_future_window)
+    assert 8 <= r < B, "test must exercise the sub-batch path"
+
+    key = jax.random.PRNGKey(7)
+    P = len(hyper.past_frames)
+    L = model.means_latent.shape[-1]
+    H = len(hyper.height_indices)
+    ks = jax.random.split(key, 5)
+    lat = jax.random.normal(ks[0], (B, P - 1, L))
+    disp = jax.random.normal(ks[1], (B, P - 1, 3)) * 0.01
+    hts = jax.random.normal(ks[2], (B, P - 1, H))
+    tok0 = jax.random.normal(ks[3], (B, L))
+
+    full = eng._temporal_rollout_core_T(model, hyper, tparam, lat, disp,
+                                        hts, tok0)
+    tbuf = jax.random.normal(ks[4], full.shape)
+
+    for n_need in (0, 3, r, r + 1, B):  # both sides of the budget
+        need = np.zeros(B, bool)
+        need[np.linspace(0, B - 1, max(n_need, 1), dtype=int)[:n_need]] = 1
+        got = eng._rollout_where_needed(
+            model, hyper, tparam, lat, disp, hts, tok0,
+            jnp.asarray(need), tbuf)
+        ref = jnp.where(jnp.asarray(need)[:, None, None], full, tbuf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=f"n_need={n_need}")
+        # un-needed lanes keep their buffer BITWISE (pure select)
+        keep = ~need
+        np.testing.assert_array_equal(np.asarray(got)[keep],
+                                      np.asarray(tbuf)[keep])
+
+
+def test_pipelined_windowed_temporal_subbatch_lockstep(example_bvh_path):
+    """End-to-end pipelined run on a windowed config WITH the temporal
+    net (B > rollout budget, so the sub-batch gather/scatter path runs),
+    against the plain batched runtime.  The reference-model fixture has
+    no temporal net — this builds from the repo's example model dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
+    from dragposer_tpu.drag import engine as eng
+    from dragposer_tpu.ops.topology import Skeleton
+
+    bvh = BVH().load(example_bvh_path)
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    sk = Skeleton.build(parents, offsets, bvh.names)
+    engine, means, stds = build_engine(
+        "models/model_dancedb_example", parents, resolve_config("4_trackers"),
+        use_temporal=True, skeleton=sk, max_iter=1)
+    assert engine.hyper.use_temporal
+
+    b = 12  # > rollout_lane_budget(12, 16) = 8 → sub-batch path runs
+    assert eng.rollout_lane_budget(b, engine.hyper.temporal_future_window) < b
+    m = encoding.encode_motion(offsets, pos[2000:2010, 0, :],
+                               rots[2000:2010], sk,
+                               height_indices=HEIGHT_INDICES)
+    n = encoding.normalize(m, means, stds)
+    dqs = np.stack([np.roll(n.dqs, -i, axis=0) for i in range(b)])
+    gp = np.stack([np.roll(n.global_pos, -i, axis=0) for i in range(b)])
+    gr = np.stack([np.roll(n.global_rot, -i, axis=0) for i in range(b)])
+    h0 = jnp.tile(jnp.asarray(m.heights[0])[None], (b, 1))
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+    states = jax.vmap(
+        lambda k, d, g, r, h: eng.init_state(
+            engine.model, engine.statics, engine.hyper, k,
+            d[0][:, None], g[0], r[0], h,
+        )
+    )(keys, jnp.asarray(dqs), jnp.asarray(gp), jnp.asarray(gr), h0)
+
+    _, ref = engine.run_batch(states, dqs, gp, gr)
+    _, out = engine.run_batch_pipelined(states, dqs, gp, gr, sync_k=1000)
+    _assert_lockstep(out, ref)
