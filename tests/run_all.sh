@@ -25,7 +25,7 @@ if [ "$SLOW" = "1" ]; then
     # PALLAS_AXON_SAVED lets test_parity_full_clip's subprocess restore the
     # TPU tunnel (scrubbed here for the virtual-mesh tests) so the
     # re-certification runs on the real chip.
-    env PALLAS_AXON_SAVED="${PALLAS_AXON_POOL_IPS:-}" \
-        -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    env -u PALLAS_AXON_POOL_IPS \
+        PALLAS_AXON_SAVED="${PALLAS_AXON_POOL_IPS:-}" JAX_PLATFORMS=cpu \
         python -m pytest tests/ -q -m slow --override-ini="addopts=" "$@"
 fi
