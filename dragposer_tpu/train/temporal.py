@@ -119,12 +119,20 @@ def _teacher_forced_loss(tparams, param, latents, latents_future, disp_acc,
 def make_train_step(vae_params, statics, param, optimizer, *,
                     fused_ff: bool | None = None,
                     fused_attn: bool | None = None,
-                    layout: str | None = None):
+                    layout: str | None = None,
+                    indexed: bool = False):
     """Jitted training step.  On TPU the defaults switch to the fused-FF
     and fused-attention Pallas kernels and the batch-in-lanes transposed
     layout (measured 5×+ the plain rows/XLA step at B=4096); elsewhere
     they keep the plain formulation (the Pallas interpret path is slow
-    on CPU)."""
+    on CPU).
+
+    indexed=True: the step takes ``(…, key, idx, dqs_past_ALL,
+    dqs_future_ALL, disp_acc_ALL, heights_ALL, …)`` and gathers the
+    batch on DEVICE — with the dataset staged in HBM once
+    (:func:`stage_dataset`), a step uploads 4·B int32 indices instead of
+    ~28 MB of batch rows (the per-step host gather + tunnel upload
+    dominated the training loop's wall clock)."""
     on_tpu = jax.default_backend() == "tpu"
     if fused_ff is None:
         fused_ff = on_tpu
@@ -134,9 +142,8 @@ def make_train_step(vae_params, statics, param, optimizer, *,
         layout = "lanes" if on_tpu else "rows"
     prob = param["limbs_random_prob"]
 
-    @jax.jit
-    def step(tparams, opt_state, key, dqs_past, dqs_future, disp_acc, heights,
-             mean_dqs, std_dqs, means_latent, stds_latent):
+    def body(tparams, opt_state, key, dqs_past, dqs_future, disp_acc,
+             heights, mean_dqs, std_dqs, means_latent, stds_latent):
         k_aug, k_enc, k_drop = jax.random.split(key, 3)
         dqs_past = _limb_noise(k_aug, dqs_past, mean_dqs, std_dqs, prob)
         # past+future through ONE frozen-VAE encode (the two window sets
@@ -160,7 +167,40 @@ def make_train_step(vae_params, statics, param, optimizer, *,
         tparams = optax.apply_updates(tparams, updates)
         return tparams, opt_state, value
 
-    return step
+    if not indexed:
+        return jax.jit(body)
+
+    @jax.jit
+    def step_indexed(tparams, opt_state, key, idx, dqs_past_all,
+                     dqs_future_all, disp_acc_all, heights_all,
+                     mean_dqs, std_dqs, means_latent, stds_latent):
+        take = lambda a: jnp.take(a, idx, axis=0)  # noqa: E731
+        return body(tparams, opt_state, key, take(dqs_past_all),
+                    take(dqs_future_all), take(disp_acc_all),
+                    take(heights_all), mean_dqs, std_dqs,
+                    means_latent, stds_latent)
+
+    return step_indexed
+
+
+# Stage datasets on device when they fit comfortably in HBM alongside the
+# models and activations (v5e: 16 GB); beyond that the loop falls back to
+# per-step host gathers.
+STAGE_LIMIT_BYTES = 4 << 30
+
+
+def stage_dataset(data: datasets.TemporalTrainData):
+    """Move the training tensors the loop actually reads into device HBM
+    once.  Returns (staged_or_original_data, staged: bool)."""
+    fields = ("dqs_past", "dqs_future", "disp_past_acc", "heights")
+    total = sum(getattr(data, f).nbytes for f in fields)
+    if total > STAGE_LIMIT_BYTES:
+        return data, False
+    import dataclasses
+
+    return dataclasses.replace(data, **{
+        f: jnp.asarray(getattr(data, f)) for f in fields
+    }), True
 
 
 def make_eval_step(vae_params, statics, param):
@@ -273,8 +313,13 @@ def train(
 
     optimizer = optax.adam(param["learning_rate"], b1=0.9, b2=0.999, eps=1e-8)
     opt_state = optimizer.init(tparams)
-    train_step = make_train_step(vae_params, statics, param, optimizer)
+    data, staged = stage_dataset(data)
+    eval_data, _ = stage_dataset(eval_data)
+    train_step = make_train_step(vae_params, statics, param, optimizer,
+                                 indexed=staged)
     eval_step = make_eval_step(vae_params, statics, param)
+    if staged:
+        log("dataset staged in device memory (indexed batching)")
 
     mean_dqs = jnp.asarray(means["dqs"])
     std_dqs = jnp.asarray(stds["dqs"])
@@ -302,21 +347,33 @@ def train(
     for epoch in range(start_epoch, n_epochs):
         key, shuffle_key = jax.random.split(key)
         order = np.asarray(jax.random.permutation(shuffle_key, n))
-        epoch_loss, count = 0.0, 0
+        step_losses = []   # device scalars; ONE blocking fetch per epoch
         epoch_time = time.time()
         for i in range(0, n, bs):
             idx = order[i : i + bs]
             if idx.shape[0] != bs:
                 continue  # the reference drops partial batches
             key, k = jax.random.split(key)
-            tparams, opt_state, value = train_step(
-                tparams, opt_state, k,
-                jnp.asarray(data.dqs_past[idx]), jnp.asarray(data.dqs_future[idx]),
-                jnp.asarray(data.disp_past_acc[idx]), jnp.asarray(data.heights[idx]),
-                mean_dqs, std_dqs, means_latent, stds_latent,
-            )
-            epoch_loss += float(value)
-            count += 1
+            if staged:
+                tparams, opt_state, value = train_step(
+                    tparams, opt_state, k, jnp.asarray(idx),
+                    data.dqs_past, data.dqs_future,
+                    data.disp_past_acc, data.heights,
+                    mean_dqs, std_dqs, means_latent, stds_latent,
+                )
+            else:
+                tparams, opt_state, value = train_step(
+                    tparams, opt_state, k,
+                    jnp.asarray(data.dqs_past[idx]),
+                    jnp.asarray(data.dqs_future[idx]),
+                    jnp.asarray(data.disp_past_acc[idx]),
+                    jnp.asarray(data.heights[idx]),
+                    mean_dqs, std_dqs, means_latent, stds_latent,
+                )
+            step_losses.append(value)
+        epoch_loss = float(jnp.stack(step_losses).sum()) if step_losses \
+            else 0.0
+        count = len(step_losses)
         key, ek = jax.random.split(key)
         eval_loss = evaluate(eval_step, tparams, ek, eval_data,
                              means_latent, stds_latent,
