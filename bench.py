@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8192"))  # measured: +28% f/s over 2048 (micro-op overhead amortization)
 FRAMES = int(os.environ.get("BENCH_FRAMES", "240"))
 START_FRAME = 2000  # a dynamic segment (the head of the clip is a T-pose)
 
