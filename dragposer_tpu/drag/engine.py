@@ -40,6 +40,7 @@ the normalizer is the traced count of active joints).
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -256,6 +257,14 @@ def _temporal_rollout_core_T(model: DragModel, hyper: DragHyper, tparam,
     ``heights`` (B, P-1, H), ``token0`` (B, L).  Returns (B, W+1, L)."""
     step = hyper.sample_step
     B, latent_dim = token0.shape
+    # NOT fused_ff=True here, by measurement: routing the rollout FFs
+    # through the rate-0 lanes kernel (f32) measured 617k vs 663k f/s on
+    # the headline bench (-7%) — the autoregressive decode loop makes
+    # S·layers small launches per frame whose custom-call boundaries
+    # block XLA's surrounding fusions, costing more than the saved
+    # (S, 2048, B) hidden-plane HBM round trip.  Env override for
+    # re-measurement: DRAGPOSER_ROLLOUT_FUSED_FF=1.
+    fused_ff = bool(os.environ.get("DRAGPOSER_ROLLOUT_FUSED_FF"))
 
     lat = (lat - model.means_latent) / model.stds_latent
     enc_in = jnp.concatenate((lat, disp_acc, heights), axis=-1)
@@ -271,7 +280,8 @@ def _temporal_rollout_core_T(model: DragModel, hyper: DragHyper, tparam,
             jnp.arange(n_steps) <= k, 0.0, -jnp.inf
         ).astype(jnp.float32)[None, :]
         pred = temporal_model.forward_T(
-            model.temporal, tparam, encT, tokens, tgt_mask=mask
+            model.temporal, tparam, encT, tokens, tgt_mask=mask,
+            fused_ff=fused_ff,
         )                                                  # (n_steps, L, B)
         out_k = jnp.take(pred, k, axis=0)
         tokens = jax.lax.cond(

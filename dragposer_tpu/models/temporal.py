@@ -349,6 +349,13 @@ def _ff_T(lp, x, rate, seed, train, fused: bool):
     """
     if fused and train:
         return ff_fused.ff_dropout_lanes(x, lp["ff1"], lp["ff2"], rate, seed)
+    if fused:
+        # Inference: same kernel at rate 0 (mask code is statically elided)
+        # and f32 MXU dots — the win is the (S, 2048, B) hidden plane never
+        # round-tripping HBM between FF1 and FF2, not matmul rate, and the
+        # drag-rollout parity budget wants f32.
+        return ff_fused.ff_dropout_lanes(x, lp["ff1"], lp["ff2"], 0.0,
+                                         jnp.int32(0), bf16=False)
     h = jax.nn.relu(_lin_T(x, lp["ff1"]))
     h = hash_dropout.dropout(h, rate, seed, train)
     return _lin_T(h, lp["ff2"])

@@ -366,6 +366,29 @@ class TestModelWiring:
         np.testing.assert_allclose(jnp.transpose(y_T, (2, 0, 1)), y_plain,
                                    rtol=1e-4, atol=1e-4)
 
+    def test_forward_T_inference_fused_ff_equals_plain(self):
+        """The inference branch of _ff_T (fused, train=False: rate-0 f32
+        kernel) must match the plain two-matmul path — this is the branch
+        DRAGPOSER_ROLLOUT_FUSED_FF routes the drag rollout through."""
+        from dragposer_tpu.models import temporal as tmodel
+        from dragposer_tpu.config import TEMPORAL_PARAM
+
+        param = dict(TEMPORAL_PARAM)
+        key = jax.random.PRNGKey(17)
+        params = tmodel.init_params(key, param)
+        b = 3
+        sp = len(param["past_frames"])
+        sf = len(param["future_frames"])
+        d_in = param["latent_dim"] + 3 + len(param["height_indices"])
+        latentT = jax.random.normal(key, (sp, d_in, b))
+        latent_tT = jax.random.normal(key, (sf, param["latent_dim"], b))
+        mask = tmodel.causal_mask(sf)
+        y_plain = tmodel.forward_T(params, param, latentT, latent_tT,
+                                   tgt_mask=mask, fused_ff=False)
+        y_fused = tmodel.forward_T(params, param, latentT, latent_tT,
+                                   tgt_mask=mask, fused_ff=True)
+        np.testing.assert_allclose(y_fused, y_plain, rtol=1e-5, atol=1e-6)
+
     def test_teacher_forced_loss_layouts_agree(self):
         """layout='lanes' must compute the same loss as layout='rows' when
         dropout is 0 (with dropout on they differ only by mask draws)."""
