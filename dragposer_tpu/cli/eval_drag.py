@@ -140,7 +140,8 @@ def run_restarts(engine: DragEngine, key, n_restarts: int, dqs, gp, gr,
 def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
                   *, max_frames: int | None = None, save_dir: str = "data",
                   verbose: bool = False, seed: int = cfg.VAE_PARAM["seed"],
-                  downsample_gt: int = 1, restarts: int = 1):
+                  downsample_gt: int = 1, restarts: int = 1,
+                  branch_every: int = 0, branch_sigma: float = 0.15):
     filename = os.path.basename(input_path)
     bvh = BVH().load(input_path)
     rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
@@ -160,7 +161,18 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
     initial_pose = np.tile(dqs[0][:, None], (1, cfg.VAE_PARAM["window_size"]))
 
     start = time.time()
-    if restarts > 1:
+    if restarts > 1 and branch_every > 0:
+        from dragposer_tpu.drag.hypotheses import run_hypotheses
+
+        out, parents, scores = run_hypotheses(
+            engine, key, restarts, dqs, gp, gr, motion.heights[0],
+            initial_pose, branch_every=branch_every, sigma=branch_sigma,
+        )
+        lead_changes = int((parents[:, 0] != 0).sum())
+        print(f"hypotheses: {restarts}-lane beam, resample every "
+              f"{branch_every} frames (sigma {branch_sigma}); "
+              f"{lead_changes} lead change(s) across {len(parents)} chunks")
+    elif restarts > 1:
         out, best, scores = run_restarts(
             engine, key, restarts, dqs, gp, gr, motion.heights[0],
             initial_pose,
@@ -384,6 +396,18 @@ def main(argv=None):
                              "Default: the config's default_restarts "
                              "(16 for the underconstrained 3_trackers "
                              "builtin, else 1)")
+    parser.add_argument("--branch-every", type=int, default=None,
+                        metavar="N",
+                        help="with restarts > 1: sequential hypothesis "
+                             "branching — re-select the best lane by "
+                             "tracker-fit loss and re-branch the beam "
+                             "every N frames instead of once per clip "
+                             "(drag/hypotheses.py). 0 disables. Default: "
+                             "the config's default_branch_every (1024 for "
+                             "the 3_trackers builtin, else 0)")
+    parser.add_argument("--branch-sigma", type=float, default=None,
+                        help="re-branch latent noise scale in latent-std "
+                             "units (default: config's, 0.15)")
     parser.add_argument("--mesh", type=int, default=None, metavar="N",
                         help="with --batch: shard the lane axis over a "
                              "1-D data mesh of N devices (default: all "
@@ -397,6 +421,10 @@ def main(argv=None):
     tracker = resolve_config(args.config)
     if args.restarts is None:
         args.restarts = tracker.default_restarts
+    if args.branch_every is None:
+        args.branch_every = tracker.default_branch_every
+    if args.branch_sigma is None:
+        args.branch_sigma = tracker.default_branch_sigma
 
     if os.path.isdir(args.input_path):
         files = sorted(
@@ -422,6 +450,10 @@ def main(argv=None):
             else contextlib.nullcontext())
     with prof:
         if args.batch and len(files) > 1:
+            if args.branch_every and args.restarts > 1:
+                print("note: --batch directory mode uses whole-clip "
+                      "restarts; per-file hypothesis branching runs in "
+                      "single-file mode (drop --batch)")
             evaluate_batched(engine, means, stds, skeleton, files,
                              max_frames=args.max_frames,
                              save_dir=args.save_dir,
@@ -435,7 +467,9 @@ def main(argv=None):
                               max_frames=args.max_frames,
                               save_dir=args.save_dir, verbose=args.verbose,
                               downsample_gt=args.downsample_gt,
-                              restarts=args.restarts)
+                              restarts=args.restarts,
+                              branch_every=args.branch_every,
+                              branch_sigma=args.branch_sigma)
     if args.profile:
         print(f"profiler trace written to {args.profile}")
 

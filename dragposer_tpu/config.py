@@ -103,6 +103,13 @@ class TrackerConfig:
     # cross-seed mean).  The reference has no analog (single fixed init,
     # drag_pose.py:47-64).
     default_restarts: int = 1
+    # Sequential hypothesis branching (drag/hypotheses.py; eval_drag
+    # --branch-every): with restarts > 1, re-select and re-branch the lane
+    # beam every N frames instead of once per clip.  0 disables (whole-clip
+    # restarts).  Measured on the 3-tracker full clip: beats whole-clip
+    # best-of-16 on every tested seed (see ROADMAP).
+    default_branch_every: int = 0
+    default_branch_sigma: float = 0.15
 
     @property
     def mask_indices(self) -> np.ndarray:
@@ -131,6 +138,10 @@ class TrackerConfig:
             lambda_temporal=float(d["lambda_temporal"]),
             temporal_future_window=int(d["temporal_future_window"]),
             name=name or path,
+            # framework extensions (absent from reference config JSONs)
+            default_restarts=int(d.get("restarts", 1)),
+            default_branch_every=int(d.get("branch_every", 0)),
+            default_branch_sigma=float(d.get("branch_sigma", 0.15)),
         )
 
 
@@ -191,6 +202,7 @@ THREE_TRACKERS = TrackerConfig(
     temporal_future_window=16,
     name="3_trackers",
     default_restarts=16,
+    default_branch_every=1024,
 )
 
 BUILTIN_CONFIGS = {

@@ -67,10 +67,13 @@ class DaemonClient:
     def eval_batch(self, model_dir: str, skeleton: str, files: list,
                    config: str = "6_trackers", use_temporal: bool = True,
                    max_frames: Optional[int] = None, downsample_gt: int = 1,
-                   save_dir: str = "data", restarts: int = 1) -> dict:
+                   save_dir: str = "data", restarts: int = 1,
+                   mesh: Optional[int] = None) -> dict:
         """Run a batched offline reconstruction job on the daemon's warm
         engine; returns ``{"results": [{file, mpjpe, mpeepe}...],
-        "elapsed_s": ...}``."""
+        "elapsed_s": ...}``.  ``mesh`` shards the lane axis over N local
+        devices (as ``eval_drag --batch --mesh``); None = all local
+        devices when more than one is attached."""
         req = {
             "model_dir": model_dir, "skeleton": skeleton, "files": files,
             "config": config, "use_temporal": use_temporal,
@@ -79,6 +82,8 @@ class DaemonClient:
         }
         if max_frames is not None:
             req["max_frames"] = max_frames
+        if mesh is not None:
+            req["mesh"] = mesh
         return json.loads(self._call(proto.OP_EVAL_BATCH,
                                      json.dumps(req).encode()))
 

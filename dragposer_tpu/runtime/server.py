@@ -120,6 +120,8 @@ def _eval_batch(req: dict) -> dict:
         save_dir=req.get("save_dir", "data"),
         downsample_gt=int(req.get("downsample_gt", 1)),
         restarts=int(req.get("restarts", 1)),
+        mesh_devices=(int(req["mesh"]) if req.get("mesh") is not None
+                      else None),
     )
     return {
         "results": [

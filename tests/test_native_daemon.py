@@ -119,7 +119,7 @@ def test_daemon_eval_batch(daemon, tmp_path):
         c.ping()
         out = c.eval_batch(MODEL, SKELETON, files, config="6_trackers",
                            use_temporal=False, max_frames=40,
-                           save_dir=str(tmp_path))
+                           save_dir=str(tmp_path), mesh=1)
     assert len(out["results"]) == 2
     for r in out["results"]:
         assert 0.0 < r["mpjpe"] < 0.5, r
