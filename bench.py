@@ -83,7 +83,21 @@ def main():
     # inputs re-uploaded per call would time the tunnel, not the chip (~36 MB
     # → ~0.55 s/call, measured).  The metric is reconstruction throughput; a
     # production pipeline streams input asynchronously / holds it in HBM.
-    dqs, gp, gr = jax.device_put(dqs), jax.device_put(gp), jax.device_put(gr)
+    #
+    # Multi-chip hosts scale out automatically: the batch axis shards over a
+    # 1-D data mesh of all local devices (BENCH_MESH=N overrides; per-lane
+    # numerics unchanged — tests/test_parallel.py).  The dev tunnel exposes
+    # one chip, so there this is a plain device_put.
+    n_dev = int(os.environ.get("BENCH_MESH", str(len(jax.devices()))))
+    if n_dev > 1:
+        from dragposer_tpu.parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(data=n_dev)
+        assert BATCH % n_dev == 0, (BATCH, n_dev)
+        states = meshlib.shard_batch(states, mesh)
+        dqs, gp, gr = meshlib.shard_batch((dqs, gp, gr), mesh)
+    else:
+        dqs, gp, gr = jax.device_put(dqs), jax.device_put(gp), jax.device_put(gr)
 
     # The pipelined sync-K runner (drag/pipeline.py) decouples the batch
     # lanes so a straggler frame no longer stalls the others, and its

@@ -141,7 +141,8 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
                   *, max_frames: int | None = None, save_dir: str = "data",
                   verbose: bool = False, seed: int = cfg.VAE_PARAM["seed"],
                   downsample_gt: int = 1, restarts: int = 1,
-                  branch_every: int = 0, branch_sigma: float = 0.15):
+                  branch_every: int = 0, branch_sigma: float = 0.25,
+                  branch_survivors: int = 8):
     filename = os.path.basename(input_path)
     bvh = BVH().load(input_path)
     rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
@@ -167,11 +168,13 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
         out, parents, scores = run_hypotheses(
             engine, key, restarts, dqs, gp, gr, motion.heights[0],
             initial_pose, branch_every=branch_every, sigma=branch_sigma,
+            survivors=branch_survivors,
         )
         lead_changes = int((parents[:, 0] != 0).sum())
-        print(f"hypotheses: {restarts}-lane beam, resample every "
-              f"{branch_every} frames (sigma {branch_sigma}); "
-              f"{lead_changes} lead change(s) across {len(parents)} chunks")
+        print(f"hypotheses: {restarts}-lane beam (top {branch_survivors} "
+              f"survive), resample every {branch_every} frames "
+              f"(sigma {branch_sigma}); {lead_changes} lead change(s) "
+              f"across {len(parents)} chunks")
     elif restarts > 1:
         out, best, scores = run_restarts(
             engine, key, restarts, dqs, gp, gr, motion.heights[0],
@@ -403,11 +406,14 @@ def main(argv=None):
                              "tracker-fit loss and re-branch the beam "
                              "every N frames instead of once per clip "
                              "(drag/hypotheses.py). 0 disables. Default: "
-                             "the config's default_branch_every (1024 for "
+                             "the config's default_branch_every (512 for "
                              "the 3_trackers builtin, else 0)")
     parser.add_argument("--branch-sigma", type=float, default=None,
-                        help="re-branch latent noise scale in latent-std "
-                             "units (default: config's, 0.15)")
+                        help="re-seed latent noise scale in latent-std "
+                             "units (default: config's, 0.25)")
+    parser.add_argument("--survivors", type=int, default=None,
+                        help="beam lineages kept at each resampling point "
+                             "(default: config's, 8)")
     parser.add_argument("--mesh", type=int, default=None, metavar="N",
                         help="with --batch: shard the lane axis over a "
                              "1-D data mesh of N devices (default: all "
@@ -425,6 +431,8 @@ def main(argv=None):
         args.branch_every = tracker.default_branch_every
     if args.branch_sigma is None:
         args.branch_sigma = tracker.default_branch_sigma
+    if args.survivors is None:
+        args.survivors = tracker.default_branch_survivors
 
     if os.path.isdir(args.input_path):
         files = sorted(
@@ -469,7 +477,8 @@ def main(argv=None):
                               downsample_gt=args.downsample_gt,
                               restarts=args.restarts,
                               branch_every=args.branch_every,
-                              branch_sigma=args.branch_sigma)
+                              branch_sigma=args.branch_sigma,
+                              branch_survivors=args.survivors)
     if args.profile:
         print(f"profiler trace written to {args.profile}")
 

@@ -103,13 +103,15 @@ class TrackerConfig:
     # cross-seed mean).  The reference has no analog (single fixed init,
     # drag_pose.py:47-64).
     default_restarts: int = 1
-    # Sequential hypothesis branching (drag/hypotheses.py; eval_drag
-    # --branch-every): with restarts > 1, re-select and re-branch the lane
-    # beam every N frames instead of once per clip.  0 disables (whole-clip
-    # restarts).  Measured on the 3-tracker full clip: beats whole-clip
-    # best-of-16 on every tested seed (see ROADMAP).
+    # Sequential hypothesis beam (drag/hypotheses.py; eval_drag
+    # --branch-every): with restarts > 1, resample the lane beam every N
+    # frames instead of selecting once per clip.  0 disables (whole-clip
+    # restarts).  Measured on the 3-tracker full clip over 8 init seeds:
+    # the 64-lane beam means 0.249 m MPJPE vs the reference's 0.299
+    # fixed-seed default and 0.285 best-of-8-seeds (see ROADMAP).
     default_branch_every: int = 0
-    default_branch_sigma: float = 0.15
+    default_branch_sigma: float = 0.25
+    default_branch_survivors: int = 8
 
     @property
     def mask_indices(self) -> np.ndarray:
@@ -141,7 +143,8 @@ class TrackerConfig:
             # framework extensions (absent from reference config JSONs)
             default_restarts=int(d.get("restarts", 1)),
             default_branch_every=int(d.get("branch_every", 0)),
-            default_branch_sigma=float(d.get("branch_sigma", 0.15)),
+            default_branch_sigma=float(d.get("branch_sigma", 0.25)),
+            default_branch_survivors=int(d.get("branch_survivors", 8)),
         )
 
 
@@ -201,8 +204,8 @@ THREE_TRACKERS = TrackerConfig(
     lambda_temporal=0.15,
     temporal_future_window=16,
     name="3_trackers",
-    default_restarts=16,
-    default_branch_every=1024,
+    default_restarts=64,
+    default_branch_every=512,
 )
 
 BUILTIN_CONFIGS = {

@@ -46,8 +46,8 @@ from dragposer_tpu.drag import engine as eng
 
 def run_hypotheses(engine: "eng.DragEngine", key, n_hypotheses: int,
                    dqs, gp, gr, heights0, initial_pose, *,
-                   branch_every: int = 1024, sigma: float = 0.15,
-                   survivors: int = 4):
+                   branch_every: int = 512, sigma: float = 0.25,
+                   survivors: int = 8):
     """Beam-drag a full sequence.
 
     Args:
