@@ -227,7 +227,9 @@ def evaluate_file(engine: DragEngine, means, stds, skeleton, input_path: str,
 def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
                      *, max_frames=None, save_dir: str = "data",
                      seed: int = cfg.VAE_PARAM["seed"], downsample_gt: int = 1,
-                     restarts: int = 1, mesh_devices: int | None = None):
+                     restarts: int = 1, mesh_devices: int | None = None,
+                     branch_every: int = 0, branch_sigma: float = 0.25,
+                     branch_survivors: int = 8):
     """Reconstruct many sequences concurrently in one vmapped device program.
 
     Sequences are padded to the longest by repeating their last frame; the
@@ -241,6 +243,10 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     devices.  Weights replicate (168k params); the pipelined loop's global
     continue-condition becomes an ICI all-reduce.  Per-lane numerics are
     unchanged (tests/test_parallel.py asserts equality vs unsharded).
+
+    With ``restarts > 1`` and ``branch_every > 0`` the per-file sequential
+    hypothesis beam runs instead (``drag/hypotheses.py``; single-device —
+    ``mesh_devices`` applies to the restarts/plain paths).
     """
     import jax
     import jax.numpy as jnp
@@ -273,10 +279,30 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
     gr = np.stack([pad(n.global_rot, f) for n, f in zip(norms, lengths)])
     h0 = np.stack([m.heights[0] for m in encoded])
 
+    R = max(int(restarts), 1)
+    if R > 1 and branch_every > 0:
+        # sequential hypothesis beam, per file (drag/hypotheses.py) — the
+        # directory-mode counterpart of the single-file --branch-every path
+        from dragposer_tpu.drag.hypotheses import run_hypotheses_batched
+
+        initial_poses = dqs[:, 0][:, :, None]  # (F, C, window=1)
+        start = time.time()
+        out, cum = run_hypotheses_batched(
+            engine, jax.random.PRNGKey(seed), R, dqs, gp, gr, h0,
+            initial_poses, lengths=np.asarray(lengths),
+            branch_every=branch_every, sigma=branch_sigma,
+            survivors=branch_survivors,
+        )
+        print(f"hypotheses: {R}-lane beam per file (top {branch_survivors} "
+              f"survive, resample every {branch_every} frames); kept "
+              f"{cum.argmin(axis=1).tolist()}")
+        return _export_batched(out, time.time() - start, files, lengths,
+                               bvhs, means, stds, skeleton, save_dir,
+                               downsample_gt)
+
     # multi-restart: replicate every sequence ``restarts`` times with
     # different latent inits; per file keep the lowest tracker-fit loss
     # (see run_restarts — helps the underconstrained 3-tracker mode)
-    R = max(int(restarts), 1)
     if R > 1:
         rep = lambda a: np.repeat(a, R, axis=0)  # noqa: E731
         dqs, gp, gr, h0 = rep(dqs), rep(gp), rep(gr), rep(h0)
@@ -335,10 +361,15 @@ def evaluate_batched(engine: DragEngine, means, stds, skeleton, files,
         pick = np.arange(len(files)) * R + best
         out = jax.tree.map(lambda a: np.asarray(a)[pick], out)
         print(f"restarts: kept {best.tolist()} of {R} per file")
-    poses, global_pos, iters = out.pose, out.global_pos, out.iterations
-    poses = np.asarray(poses)
-    global_pos = np.asarray(global_pos)
-    elapsed = time.time() - start
+    return _export_batched(out, time.time() - start, files, lengths, bvhs,
+                           means, stds, skeleton, save_dir, downsample_gt)
+
+
+def _export_batched(out, elapsed, files, lengths, bvhs, means, stds,
+                    skeleton, save_dir, downsample_gt):
+    """Shared tail of the batched eval paths: BVH export + metrics."""
+    poses = np.asarray(out.pose)
+    global_pos = np.asarray(out.global_pos)
 
     os.makedirs(save_dir, exist_ok=True)
     results = []
@@ -458,16 +489,15 @@ def main(argv=None):
             else contextlib.nullcontext())
     with prof:
         if args.batch and len(files) > 1:
-            if args.branch_every and args.restarts > 1:
-                print("note: --batch directory mode uses whole-clip "
-                      "restarts; per-file hypothesis branching runs in "
-                      "single-file mode (drop --batch)")
             evaluate_batched(engine, means, stds, skeleton, files,
                              max_frames=args.max_frames,
                              save_dir=args.save_dir,
                              downsample_gt=args.downsample_gt,
                              restarts=args.restarts,
-                             mesh_devices=args.mesh)
+                             mesh_devices=args.mesh,
+                             branch_every=args.branch_every,
+                             branch_sigma=args.branch_sigma,
+                             branch_survivors=args.survivors)
         else:
             for path in files:
                 print(f"Evaluate {path} ------------------------")

@@ -130,3 +130,103 @@ def run_hypotheses(engine: "eng.DragEngine", key, n_hypotheses: int,
     best = int(np.argmin(cum))
     out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *hist[best])
     return out, np.stack(parents_log), np.stack(scores_log)
+
+
+def run_hypotheses_batched(engine: "eng.DragEngine", key, n_hypotheses: int,
+                           dqs, gp, gr, heights0, initial_poses, *,
+                           lengths=None, branch_every: int = 512,
+                           sigma: float = 0.25, survivors: int = 8):
+    """Beam-drag F sequences concurrently: the directory-mode counterpart
+    of :func:`run_hypotheses` (used by ``eval_drag --batch`` and the
+    daemon's ``eval_batch`` when branching is enabled).
+
+    All F·R lanes run as ONE batched device program per chunk; scoring,
+    lineage bookkeeping, and resampling happen independently per file.
+    Padded tail frames (files shorter than the longest — ``lengths``) are
+    masked out of the fit scores so padding never drives selection.
+
+    Args:
+      dqs/gp/gr: (F, T, ...) padded sequence inputs.
+      heights0: (F, H); initial_poses: (F, C, W).
+      lengths: (F,) true frame counts (default: all T).
+
+    Returns:
+      (out, cum): ``out`` — the winning lineage per file as a stacked
+      FrameOutput pytree with leading (F, T) axes; ``cum`` — (F, R) final
+      cumulative fit losses (winning lane = argmin per row).
+    """
+    R = int(n_hypotheses)
+    K = max(1, min(int(survivors), R))
+    F, T = dqs.shape[0], dqs.shape[1]
+    lengths = np.full((F,), T) if lengths is None else np.asarray(lengths)
+
+    key, init_key = jax.random.split(key)
+    keys = jax.random.split(init_key, F * R).reshape(F, R, -1)
+    states = jax.vmap(jax.vmap(
+        lambda k, p, g0, r0, h: eng.init_state(
+            engine.model, engine.statics, engine.hyper, k, p, g0, r0, h),
+        in_axes=(0, None, None, None, None)))(
+            keys, jnp.asarray(initial_poses), jnp.asarray(gp[:, 0]),
+            jnp.asarray(gr[:, 0]), jnp.asarray(heights0))
+    # flatten (F, R) lanes → (F·R)
+    states = jax.tree.map(
+        lambda a: a.reshape((F * R,) + a.shape[2:]), states)
+
+    stds_latent = engine.model.stds_latent
+
+    @jax.jit
+    def _resample(states, parent_flat, noise_key, keep_flat):
+        base = jax.tree.map(lambda a: a[parent_flat], states)
+        eps = jax.random.normal(noise_key,
+                                (F * R,) + states.latent.shape[1:],
+                                states.latent.dtype)
+        eps = jnp.where(keep_flat[:, None], 0.0, eps)
+        return base._replace(latent=base.latent + sigma * stds_latent * eps)
+
+    def rep(x):  # (F, T, ...) → (F·R, T, ...) lane replication
+        return np.broadcast_to(
+            x[:, None], (F, R) + x.shape[1:]).reshape((F * R,) + x.shape[1:])
+
+    hist = [[[] for _ in range(R)] for _ in range(F)]
+    cum = np.zeros((F, R))
+    keep_template = np.zeros((F, R), bool)
+    keep_template[:, :K] = True
+    for lo in range(0, T, branch_every):
+        hi = min(lo + branch_every, T)
+        states, out = engine.run_batch(states, rep(dqs[:, lo:hi]),
+                                       rep(gp[:, lo:hi]),
+                                       rep(gr[:, lo:hi]))
+        out = jax.tree.map(np.asarray, out)
+        # mask padded frames out of the fit score, per file
+        valid = (np.arange(lo, hi)[None] < lengths[:, None])  # (F, C)
+        w = np.repeat(valid, R, axis=0).astype(np.float64)    # (F·R, C)
+        denom = np.maximum(w.sum(axis=1), 1.0)
+        score = ((out.loss_pos * w).sum(axis=1)
+                 + (out.loss_rot * w).sum(axis=1)) / denom
+        cum = cum + (score * (w.sum(axis=1) / np.maximum(lengths.repeat(R)
+                                                         .astype(np.float64),
+                                                         1.0))).reshape(F, R)
+        for f in range(F):
+            for j in range(R):
+                hist[f][j].append(
+                    jax.tree.map(lambda a, i=f * R + j: a[i], out))
+
+        if R > 1 and hi < T:
+            order = np.argsort(cum, axis=1)            # (F, R), best first
+            parent = np.stack(
+                [order[:, j % K] for j in range(R)], axis=1)  # (F, R)
+            parent_flat = (np.arange(F)[:, None] * R + parent).reshape(-1)
+            key, nk = jax.random.split(key)
+            states = _resample(states, jnp.asarray(parent_flat), nk,
+                               jnp.asarray(keep_template.reshape(-1)))
+            hist = [[list(hist[f][p]) for p in parent[f]] for f in range(F)]
+            cum = np.take_along_axis(cum, parent, axis=1)
+
+    best = cum.argmin(axis=1)
+    per_file = [
+        jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
+                     *hist[f][int(best[f])])
+        for f in range(F)
+    ]
+    out = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_file)
+    return out, cum

@@ -68,7 +68,9 @@ class DaemonClient:
                    config: str = "6_trackers", use_temporal: bool = True,
                    max_frames: Optional[int] = None, downsample_gt: int = 1,
                    save_dir: str = "data", restarts: int = 1,
-                   mesh: Optional[int] = None) -> dict:
+                   mesh: Optional[int] = None, branch_every: int = 0,
+                   branch_sigma: float = 0.25,
+                   branch_survivors: int = 8) -> dict:
         """Run a batched offline reconstruction job on the daemon's warm
         engine; returns ``{"results": [{file, mpjpe, mpeepe}...],
         "elapsed_s": ...}``.  ``mesh`` shards the lane axis over N local
@@ -84,6 +86,10 @@ class DaemonClient:
             req["max_frames"] = max_frames
         if mesh is not None:
             req["mesh"] = mesh
+        if branch_every:
+            req["branch_every"] = branch_every
+            req["branch_sigma"] = branch_sigma
+            req["branch_survivors"] = branch_survivors
         return json.loads(self._call(proto.OP_EVAL_BATCH,
                                      json.dumps(req).encode()))
 

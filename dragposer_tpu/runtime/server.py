@@ -122,6 +122,9 @@ def _eval_batch(req: dict) -> dict:
         restarts=int(req.get("restarts", 1)),
         mesh_devices=(int(req["mesh"]) if req.get("mesh") is not None
                       else None),
+        branch_every=int(req.get("branch_every", 0)),
+        branch_sigma=float(req.get("branch_sigma", 0.25)),
+        branch_survivors=int(req.get("branch_survivors", 8)),
     )
     return {
         "results": [

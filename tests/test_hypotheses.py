@@ -108,6 +108,73 @@ def test_branch_every_full_length_degrades_to_restarts(example_bvh_path):
                  + np.asarray(out.loss_rot).mean()) == scores[0, best]
 
 
+def test_batched_beam_ragged_and_padding_invariant(example_bvh_path):
+    """run_hypotheses_batched: per-file beams over a ragged 2-file batch.
+    The padded tail of the shorter file must not influence its committed
+    trajectory or the selection (scores are length-masked)."""
+    from dragposer_tpu.drag.hypotheses import run_hypotheses_batched
+
+    engine, n, m, initial_pose = _setup(example_bvh_path,
+                                        frames=(2000, 2020))
+    T, t2 = 20, 13
+    lengths = np.array([T, t2])
+
+    def build(pad_mode):
+        def pad(x):
+            if pad_mode == "repeat":
+                tail = np.repeat(x[t2 - 1:t2], T - t2, axis=0)
+            else:
+                tail = np.zeros((T - t2,) + x.shape[1:], x.dtype)
+            return np.concatenate([x[:t2], tail], axis=0)
+
+        dqs = np.stack([n.dqs, pad(n.dqs)])
+        gp = np.stack([n.global_pos, pad(n.global_pos)])
+        gr = np.stack([n.global_rot, pad(n.global_rot)])
+        return dqs, gp, gr
+
+    h0 = np.stack([m.heights[0], m.heights[0]])
+    ip = np.stack([initial_pose, initial_pose])
+    key = jax.random.PRNGKey(4)
+    outs = []
+    for mode in ("repeat", "zeros"):
+        dqs, gp, gr = build(mode)
+        out, cum = run_hypotheses_batched(
+            engine, key, 4, dqs, gp, gr, h0, ip, lengths=lengths,
+            branch_every=6, sigma=0.4, survivors=2)
+        assert out.pose.shape[:2] == (2, T)
+        assert cum.shape == (2, 4)
+        assert np.all(np.isfinite(out.pose[0]))
+        assert np.all(np.isfinite(out.pose[1, :t2]))
+        outs.append(out)
+    # real-frame outputs identical regardless of padding content
+    np.testing.assert_array_equal(outs[0].pose[1, :t2],
+                                  outs[1].pose[1, :t2])
+    np.testing.assert_array_equal(outs[0].pose[0], outs[1].pose[0])
+
+
+def test_evaluate_batched_beam_cli_path(example_bvh_path, tmp_path):
+    """evaluate_batched with branch_every: the directory-mode beam."""
+    from dragposer_tpu.cli.eval_drag import (build_engine, evaluate_batched,
+                                             resolve_config)
+
+    bvh = BVH().load(example_bvh_path)
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    sk = Skeleton.build(parents, offsets, bvh.names)
+    engine, means, stds = build_engine(
+        REFERENCE_MODEL, parents, resolve_config("3_trackers"),
+        use_temporal=False, skeleton=sk, max_iter=4,
+    )
+    files = ["/root/reference/python/data/example/eval/example.bvh",
+             "/root/reference/python/data/example/eval/example_2.bvh"]
+    results = evaluate_batched(engine, means, stds, sk, files,
+                               max_frames=14, save_dir=str(tmp_path),
+                               restarts=3, branch_every=6,
+                               branch_survivors=2)
+    assert len(results) == 2
+    for mpjpe, mpeepe in results:
+        assert 0.0 < mpjpe < 1.0
+
+
 def test_incumbent_never_lost(example_bvh_path):
     """Survivor lanes continue exactly: with sigma=0 every lane collapses
     onto the survivors, and the emitted lineage's per-chunk losses must
