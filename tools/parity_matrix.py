@@ -319,11 +319,14 @@ def main():
                 "0.288-0.485 m on the full clip; eval_drag --restarts 16 "
                 "(default for the 3_trackers builtin) selects by tracker-"
                 "fit loss with no ground truth and lands at 0.339 m = the "
-                "reference's cross-seed mean",
+                "reference's cross-seed mean; the hypothesis beam "
+                "(hypotheses_3_trackers, the 3_trackers builtin default) "
+                "goes further: mean 0.2485 m over the same 8 seeds — below "
+                "the reference's best seed",
         "engine_sources_sha": engine_sources_sha(),
     }
-    for k in prev:  # keep sibling artifacts (tools/parity_sweep.py)
-        if k.startswith("seed_sweep_"):
+    for k in prev:  # keep sibling artifacts (parity_sweep / hypotheses_sweep)
+        if k.startswith("seed_sweep_") or k.startswith("hypotheses_"):
             artifact[k] = prev[k]
     recompute_pass(artifact)
     with open(args.out, "w") as f:
