@@ -29,10 +29,15 @@ that looks best for one chunk but ruins the next is out-competed by a
 sibling lineage that stayed consistent — measured, this removes the
 greedy variant's seed fragility.  With ``survivors=1`` the beam degrades
 to greedy per-chunk commit; with ``branch_every >= n_frames`` to
-``--restarts``; with R = 1 it is bit-identical to the anchor
-``engine.run`` path (chunking a ``lax.scan`` is exact — tested).  The
-reference has no analog of any of these modes: its init is one fixed seed
-(``drag_pose.py:47-64``).
+``--restarts``; with R = 1 it computes the same trajectory as the anchor
+``engine.run`` path.  Chunking a ``lax.scan`` is exact — bit-identical
+WITHIN one compiled program (tested: chunked ``run_batch`` vs one-chunk
+``run_batch``).  Against ``engine.run`` — a separately compiled program —
+agreement is fp-level only: XLA codegen (fusion/vectorization choices)
+differs across programs and hosts, and the drag objective amplifies
+ulp-level input differences over thousands of frames, so cross-program
+bitwise equality is not a portable invariant.  The reference has no analog
+of any of these modes: its init is one fixed seed (``drag_pose.py:47-64``).
 """
 
 from __future__ import annotations

@@ -36,13 +36,21 @@ from dragposer_tpu.ops.topology import Skeleton
 
 def _enable_compilation_cache():
     """Persistent XLA cache — the embedded client must not pay a multi-second
-    compile inside the first ``drag_pose`` on every process start."""
+    compile inside the first ``drag_pose`` on every process start.
+
+    The directory is keyed by environment: the axon sitecustomize hook
+    builds CPU executables with different target-machine features than a
+    scrubbed environment, and XLA loads a mismatched AOT entry without
+    complaint (observed: garbage poses) — same hazard tests/conftest.py
+    documents."""
     import jax
 
+    tag = "axoncpu" if os.environ.get("PALLAS_AXON_POOL_IPS") else "cpu"
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("DRAGPOSER_JAX_CACHE", "/tmp/dragposer_jax_cache"))
+            os.environ.get("DRAGPOSER_JAX_CACHE",
+                           f"/tmp/dragposer_jax_cache_{tag}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # already configured by the host application
@@ -204,15 +212,18 @@ class RealtimeSession:
 
     # ------------------------------------------------------------------
     def init_drag_pose(self, initial_global_pos: np.ndarray,
-                       initial_global_rot: np.ndarray) -> None:
-        """Zero initial pose + heights, as the reference (run_drag.py:77-96)."""
+                       initial_global_rot: np.ndarray,
+                       seed: int = cfg.VAE_PARAM["seed"]) -> None:
+        """Zero initial pose + heights, as the reference (run_drag.py:77-96).
+        ``seed`` varies the initial-latent draw (the reference's analog is
+        its fixed torch seed, eval_drag.py:23 — sweeps redirect it)."""
         import jax
 
         self._ensure_engine()
         j = self.skeleton.n_joints
         initial_pose = np.zeros((j * 8, cfg.VAE_PARAM["window_size"]), np.float32)
         self._state = self._engine.init_state(
-            jax.random.PRNGKey(cfg.VAE_PARAM["seed"]),
+            jax.random.PRNGKey(seed),
             initial_pose,
             np.asarray(initial_global_pos, np.float32).reshape(3),
             np.asarray(initial_global_rot, np.float32).reshape(4),

@@ -79,7 +79,39 @@ OP_STATS = 12
 DEFAULT_SOCKET = "/tmp/dragposer_tpu.sock"
 
 _engines: dict = {}
-_engines_lock = threading.Lock()
+_engines_lock = threading.Lock()   # guards the dicts below; NEVER a build
+_engine_builds: dict = {}          # key -> per-key build lock
+_eval_stats = {"jobs_active": 0, "jobs_done": 0, "building": []}
+
+
+def engine_cache_get(key, build_fn):
+    """Engine cache lookup with PER-KEY build locks.
+
+    A first-time engine build is an XLA compile (minutes cold on CPU); a
+    single global lock would serialize every eval-batch job — including
+    pure cache hits — behind it.  Here ``_engines_lock`` only guards dict
+    access: a cold key compiles under its own lock, so a concurrent job
+    with a WARM key returns immediately, and two jobs racing the same cold
+    key still build once.  The in-flight keys are surfaced via OP_STATS
+    (``building``)."""
+    with _engines_lock:
+        if key in _engines:
+            return _engines[key]
+        build_lock = _engine_builds.setdefault(key, threading.Lock())
+    with build_lock:
+        with _engines_lock:
+            if key in _engines:
+                return _engines[key]
+            _eval_stats["building"] = _eval_stats["building"] + [repr(key)]
+        try:
+            val = build_fn()
+        finally:
+            with _engines_lock:
+                _eval_stats["building"] = [
+                    k for k in _eval_stats["building"] if k != repr(key)]
+        with _engines_lock:
+            _engines[key] = val
+        return val
 
 
 def _eval_batch(req: dict) -> dict:
@@ -100,32 +132,41 @@ def _eval_batch(req: dict) -> dict:
 
     key = (req["model_dir"], req.get("config", "6_trackers"),
            bool(req.get("use_temporal", True)), req["skeleton"])
-    with _engines_lock:
-        if key not in _engines:
-            bvh = BVH().load(req["skeleton"])
-            rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
-            sk = Skeleton.build(parents, offsets, bvh.names)
-            engine, means, stds = build_engine(
-                req["model_dir"], parents,
-                resolve_config(req.get("config", "6_trackers")),
-                use_temporal=bool(req.get("use_temporal", True)), skeleton=sk,
-            )
-            _engines[key] = (engine, means, stds, sk)
-        engine, means, stds, sk = _engines[key]
+
+    def _build():
+        bvh = BVH().load(req["skeleton"])
+        rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+        sk = Skeleton.build(parents, offsets, bvh.names)
+        engine, means, stds = build_engine(
+            req["model_dir"], parents,
+            resolve_config(req.get("config", "6_trackers")),
+            use_temporal=bool(req.get("use_temporal", True)), skeleton=sk,
+        )
+        return engine, means, stds, sk
+
+    engine, means, stds, sk = engine_cache_get(key, _build)
 
     t0 = _time.time()
-    results = evaluate_batched(
-        engine, means, stds, sk, req["files"],
-        max_frames=req.get("max_frames"),
-        save_dir=req.get("save_dir", "data"),
-        downsample_gt=int(req.get("downsample_gt", 1)),
-        restarts=int(req.get("restarts", 1)),
-        mesh_devices=(int(req["mesh"]) if req.get("mesh") is not None
-                      else None),
-        branch_every=int(req.get("branch_every", 0)),
-        branch_sigma=float(req.get("branch_sigma", 0.25)),
-        branch_survivors=int(req.get("branch_survivors", 8)),
-    )
+    with _engines_lock:
+        _eval_stats["jobs_active"] += 1
+    try:
+        results = evaluate_batched(
+            engine, means, stds, sk, req["files"],
+            max_frames=req.get("max_frames"),
+            save_dir=req.get("save_dir", "data"),
+            downsample_gt=int(req.get("downsample_gt", 1)),
+            restarts=int(req.get("restarts", 1)),
+            mesh_devices=(int(req["mesh"]) if req.get("mesh") is not None
+                          else None),
+            branch_every=int(req.get("branch_every", 0)),
+            branch_sigma=float(req.get("branch_sigma", 0.25)),
+            branch_survivors=int(req.get("branch_survivors", 8)),
+        )
+    finally:
+        with _engines_lock:
+            _eval_stats["jobs_active"] -= 1
+    with _engines_lock:
+        _eval_stats["jobs_done"] += 1
     return {
         "results": [
             {"file": f, "mpjpe": float(m), "mpeepe": float(e)}
@@ -176,12 +217,27 @@ class DragCoalescer:
                       "max_group": 0}
 
     # ------------------------------------------------------------------
+    def forget(self, session) -> None:
+        """Drop a session from the live-quorum tracking (called when its
+        owning connection closes) — a disconnected client must not inflate
+        the tick quorum for the 1 s liveness horizon, nor leak an entry for
+        the daemon's lifetime."""
+        with self._cv:
+            self._last_seen.pop(id(session), None)
+            self._cv.notify_all()  # a waiting leader's quorum just shrank
+
     def drag(self, session, tpos, trot) -> bytes:
         req = _PendingDrag(session, tpos, trot)
         now = time.monotonic()
         with self._cv:
             self._pending.append(req)
             self._last_seen[id(session)] = now
+            # prune sessions idle >60 s: liveness only looks 1 s back, so
+            # long-gone sessions are dead weight (unbounded growth over the
+            # daemon lifetime otherwise)
+            for k in [k for k, t in self._last_seen.items()
+                      if now - t > 60.0]:
+                del self._last_seen[k]
             # sessions that dragged within the last second are "live"
             expected = sum(1 for t in self._last_seen.values()
                            if now - t < 1.0)
@@ -317,6 +373,9 @@ def _handle_request(capi, op: int, payload: bytes,
         return json.dumps(_eval_batch(json.loads(payload))).encode()
     if op == OP_STATS:
         stats = dict(coalescer.stats) if coalescer is not None else {}
+        with _engines_lock:
+            stats["eval"] = {**_eval_stats,
+                             "engines_cached": len(_engines)}
         return json.dumps(stats).encode()
     if op == OP_INIT:
         return struct.pack("<q", capi.init())
@@ -379,8 +438,14 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float | None = None,
           ready_fd: int | None = None,
           coalesce_window: float = 0.002) -> None:
-    # Import (and thereby pay jax startup) before accepting connections.
+    # Import (and thereby pay jax startup) before accepting connections,
+    # and turn on the persistent XLA cache NOW — eval-batch engine builds
+    # can happen before any RealtimeSession exists, and a cold host must
+    # pay each compile at most once across daemon restarts.
     from dragposer_tpu.runtime import capi
+    from dragposer_tpu.runtime.realtime import _enable_compilation_cache
+
+    _enable_compilation_cache()
 
     try:
         os.unlink(socket_path)
@@ -423,6 +488,11 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float | None = None,
         finally:
             sock.close()
             for h in handles:  # crashed clients must not leak engine state
+                if coalescer is not None:
+                    try:
+                        coalescer.forget(capi.get_session(h))
+                    except Exception:
+                        pass  # handle already destroyed elsewhere
                 capi.destroy(h)
             with state_lock:
                 state["n_conns"] -= 1

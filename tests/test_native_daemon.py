@@ -66,7 +66,7 @@ def test_daemon_smoke_lifecycle(daemon):
     env["DRAGPOSER_NO_SPAWN"] = "1"  # must use the fixture's daemon
     out = subprocess.run(
         [SMOKE, MODEL, SKELETON, "2"],
-        capture_output=True, text=True, env=env, timeout=1200, cwd=REPO,
+        capture_output=True, text=True, env=env, timeout=3600, cwd=REPO,
     )
     assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
     assert "smoke OK" in out.stdout
@@ -115,7 +115,7 @@ def test_daemon_eval_batch(daemon, tmp_path):
     sock_path, _ = daemon
     files = ["/root/reference/python/data/example/eval/example.bvh",
              "/root/reference/python/data/example/eval/example_2.bvh"]
-    with DaemonClient(sock_path, timeout=900) as c:
+    with DaemonClient(sock_path, timeout=3600) as c:
         c.ping()
         out = c.eval_batch(MODEL, SKELETON, files, config="6_trackers",
                            use_temporal=False, max_frames=40,
@@ -125,7 +125,7 @@ def test_daemon_eval_batch(daemon, tmp_path):
         assert 0.0 < r["mpjpe"] < 0.5, r
         assert 0.0 < r["mpeepe"] < 0.8, r
     # second call reuses the cached engine (no recompile) => much faster
-    with DaemonClient(sock_path, timeout=900) as c:
+    with DaemonClient(sock_path, timeout=3600) as c:
         out2 = c.eval_batch(MODEL, SKELETON, files, config="6_trackers",
                             use_temporal=False, max_frames=40,
                             save_dir=str(tmp_path))

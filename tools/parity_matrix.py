@@ -2,18 +2,24 @@
 
 Runs the reference implementation (via tools/run_reference.py) and this
 framework on the SAME clip / weights / config for every tracker config, and
-writes a machine-checked artifact ``PARITY.json`` at the repo root:
+writes a machine-checked artifact ``PARITY.json`` at the repo root.
 
-    {"frames": N, "configs": {"6_trackers": {"ref_mpjpe": ..., "our_mpjpe":
-     ..., "rel_diff": ...}, ...}, "max_rel_diff": ..., "pass_1pct": true}
+The artifact is organised per clip.  The primary clip (``example.bvh``
+frames 2000-7052, the historical committed slice) lives at the TOP LEVEL
+(``frames`` / ``configs`` / ``seed_sweep_*`` / ``hypotheses_*``); every
+other shipped eval clip — the reference's directory mode
+(``/root/reference/python/src/eval_drag.py:285-291``) evaluates all of
+``data/example/eval/*.bvh`` — gets an identically-shaped section under
+``clips.<name>``.  ``pass_1pct`` is per section; ``pass_1pct_all_clips``
+aggregates.
 
 BASELINE.json's accuracy bar ("MPJPE within 1% of the PyTorch reference") is
-enforced here on the full clip, where trajectory chaos averages out — the
+enforced here on full clips, where trajectory chaos averages out — the
 300-frame pytest regression (tests/test_reference_parity.py) uses a wider
 2% band because short windows are noisy estimators (a measured 1e-7 fp
 perturbation moves 300-frame MPJPE by ±1.5%).
 
-Usage: python tools/parity_matrix.py [--frames 5052] [--configs 6,5,4,3]
+Usage: python tools/parity_matrix.py [--clip example_2] [--configs 6,5,4,3]
 """
 
 from __future__ import annotations
@@ -27,11 +33,26 @@ import sys
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 CONFIG_DIR = "/root/reference/python/config"
+EVAL_DIR = "/root/reference/python/data/example/eval"
+
+# The three eval clips the reference ships (its directory mode evaluates all
+# of them).  The primary clip keeps its historical 2000-offset slice; the
+# other two run whole (start 0, full length), exactly as the reference's
+# directory mode would see them.
+CLIPS = {
+    "example": {"path": os.path.join(EVAL_DIR, "example.bvh"),
+                "start": 2000, "frames": 5052},
+    "example_2": {"path": os.path.join(EVAL_DIR, "example_2.bvh"),
+                  "start": 0, "frames": 2920},
+    "example_3": {"path": os.path.join(EVAL_DIR, "example_3.bvh"),
+                  "start": 0, "frames": 3047},
+}
 
 # Sources whose behavior PARITY.json certifies: the complete numeric path
-# from BVH in to metrics out, both anchor and pipelined.  A change to any of
-# these invalidates the artifact (tests/test_parity_gate.py compares the
-# hash), forcing a re-certification via `parity_matrix.py --reuse-ref`.
+# from BVH in to metrics out — anchor, pipelined, beam, and the fused
+# kernels the inference graph can dispatch into.  A change to any of these
+# invalidates the artifact (tests/test_parity_gate.py compares the hash),
+# forcing a re-certification via `parity_matrix.py --reuse-ref`.
 CERTIFIED_SOURCES = [
     "dragposer_tpu/config.py",
     "dragposer_tpu/export.py",
@@ -41,6 +62,7 @@ CERTIFIED_SOURCES = [
     "dragposer_tpu/drag/constraints.py",
     "dragposer_tpu/drag/engine.py",
     "dragposer_tpu/drag/fast_iter.py",
+    "dragposer_tpu/drag/hypotheses.py",
     "dragposer_tpu/drag/pipeline.py",
     "dragposer_tpu/io/bvh.py",
     "dragposer_tpu/models/checkpoint.py",
@@ -49,10 +71,14 @@ CERTIFIED_SOURCES = [
     "dragposer_tpu/models/temporal.py",
     "dragposer_tpu/models/torch_import.py",
     "dragposer_tpu/models/vae.py",
+    "dragposer_tpu/ops/attn_fused.py",
     "dragposer_tpu/ops/dual_quat.py",
+    "dragposer_tpu/ops/ff_fused.py",
     "dragposer_tpu/ops/fk.py",
+    "dragposer_tpu/ops/hash_dropout.py",
     "dragposer_tpu/ops/quat.py",
     "dragposer_tpu/ops/topology.py",
+    "dragposer_tpu/runtime/realtime.py",
 ]
 
 
@@ -76,58 +102,186 @@ def engine_sources_sha() -> str:
 MIN_SWEEP_SEEDS = 6
 
 
-def recompute_pass(artifact: dict) -> dict:
-    """Recompute the top-level pass fields of PARITY.json in place.
+def clip_section(artifact: dict, clip: str) -> dict:
+    """The artifact sub-dict holding ``clip``'s matrices and sweeps.  The
+    primary clip IS the top level (historical schema); others nest under
+    ``clips.<name>`` with the identical layout."""
+    if clip == "example":
+        return artifact
+    return artifact.setdefault("clips", {}).setdefault(clip, {})
+
+
+def _beam_default_key() -> str | None:
+    """PARITY key of the hypothesis-beam measurement at the 3-tracker
+    builtin's committed defaults (config.py), e.g.
+    ``beam_R64_K8_branch512_sigma025`` — the path ``eval_drag`` actually
+    runs for that config."""
+    sys.path.insert(0, REPO)
+    from dragposer_tpu.config import BUILTIN_CONFIGS
+
+    c = BUILTIN_CONFIGS["3_trackers"]
+    if c.default_branch_every <= 0 or c.default_restarts <= 1:
+        return None
+    sig = f"{c.default_branch_sigma:.2f}".replace(".", "")
+    return (f"beam_R{c.default_restarts}_K{c.default_branch_survivors}"
+            f"_branch{c.default_branch_every}_sigma{sig}")
+
+
+def recompute_section(sec: dict) -> dict:
+    """Recompute one clip section's pass fields in place.
 
     The 1% bar (BASELINE: "MPJPE within 1% of the PyTorch reference",
     reference acceptance metric ``eval_drag.py:249-252``) applies to
     configs where tracking WORKS in both implementations
-    (ref_mpjpe < 0.15 m; 3-tracker is a documented failure regime in both
-    — see ``excluded_degenerate`` + its committed seed sweep).
+    (ref_mpjpe < 0.15 m; the 3-tracker regime is a documented failure mode
+    in both — see ``excluded_degenerate`` + its committed seed sweep).
 
     Per working config:
       * anchor column: single fixed-seed head-to-head rel diff < 1%
         (numerical parity at matched init);
-      * pipelined column: the single-draw rel diff, OR — when a committed
-        ``seed_sweep_<config>`` with >= MIN_SWEEP_SEEDS seeds measured
-        through the pipelined path exists — the sweep's mean-vs-mean rel
-        diff, whichever is smaller.  The effective value is recorded as
-        ``rel_diff_mpjpe_pipelined_effective``.
+      * pipelined column: when a committed ``seed_sweep_<config>`` with
+        >= MIN_SWEEP_SEEDS seeds per side exists, the comparison IS the
+        sweep: ``|mean_ours - mean_ref| / mean_ref`` must stay within
+        ``max(1%, 2*SEM_ref/mean_ref)`` — a dispersion-aware bound that can
+        FAIL on a bad sweep (it is not min-ed against the single draw).
+        Without a sweep, the single-draw rel diff against the plain 1% bar.
+        The effective value and its bound are recorded per config as
+        ``rel_diff_mpjpe_pipelined_effective`` / ``pipelined_allowed_rel``.
+
+    Also refreshes the product-default column: ``our_mpjpe_default`` is what
+    ``eval_drag <clip> --config <name>`` lands at with NO extra flags — the
+    hypothesis-beam mean for configs whose builtin defaults enable the beam
+    (``hypotheses_<name>``), the pipelined value otherwise.
     """
-    results = artifact["configs"]
+    import numpy as np
+
+    results = sec["configs"]
     WORKING = 0.15  # meters; collapse threshold
     working = {k: r for k, r in results.items() if r["ref_mpjpe"] < WORKING}
+    # reference-only checkpoints (--ref-only queue runs) have no our-side
+    # columns yet: compute over what exists, and mark the section pending
+    complete = {k: r for k, r in working.items() if "rel_diff_mpjpe" in r}
+    beam_key = _beam_default_key()
     for name, r in results.items():
-        eff = r.get("rel_diff_mpjpe_pipelined")
-        sweep = artifact.get(f"seed_sweep_{name}")
-        if sweep is not None and eff is not None \
+        if "rel_diff_mpjpe" not in r:
+            continue
+        sweep = sec.get(f"seed_sweep_{name}")
+        single = r.get("rel_diff_mpjpe_pipelined")
+        if sweep is not None \
                 and len(sweep.get("reference", {})) >= MIN_SWEEP_SEEDS \
                 and len(sweep.get("ours", [])) >= MIN_SWEEP_SEEDS:
-            mean_rel = abs(sweep["our_mpjpe_mean"] - sweep["ref_mpjpe_mean"]) \
-                / sweep["ref_mpjpe_mean"]
+            ref_vals = np.asarray(
+                [v["mpjpe"] for v in sweep["reference"].values()])
+            mean_ref = float(ref_vals.mean())
+            sem_ref = float(ref_vals.std(ddof=1) / np.sqrt(len(ref_vals)))
+            mean_rel = abs(sweep["our_mpjpe_mean"] - mean_ref) / mean_ref
             r["rel_diff_mpjpe_pipelined_sweep_mean"] = mean_rel
-            eff = min(eff, mean_rel)
-        if eff is not None:
-            r["rel_diff_mpjpe_pipelined_effective"] = eff
-    max_rel = max(r["rel_diff_mpjpe"] for r in working.values())
-    max_rel_p = max(r["rel_diff_mpjpe_pipelined_effective"]
-                    for r in working.values()
-                    if "rel_diff_mpjpe_pipelined_effective" in r)
-    artifact["max_rel_diff_mpjpe_working"] = max_rel
-    artifact["max_rel_diff_mpjpe_pipelined_working"] = max_rel_p
-    artifact["pass_1pct"] = max_rel < 0.01 and max_rel_p < 0.01
-    artifact["excluded_degenerate"] = sorted(set(results) - set(working))
+            r["rel_diff_mpjpe_pipelined_effective"] = mean_rel
+            r["pipelined_allowed_rel"] = max(0.01, 2.0 * sem_ref / mean_ref)
+            r["pipelined_criterion"] = "sweep_mean_vs_mean"
+        elif single is not None:
+            r["rel_diff_mpjpe_pipelined_effective"] = single
+            r["pipelined_allowed_rel"] = 0.01
+            r["pipelined_criterion"] = "single_draw"
+            r.pop("rel_diff_mpjpe_pipelined_sweep_mean", None)
+        # product-default column: what the builtin config actually runs
+        hyp = sec.get(f"hypotheses_{name}")
+        if hyp is not None and beam_key is not None and beam_key in hyp \
+                and name == "3_trackers":
+            r["our_mpjpe_default"] = hyp[beam_key]["mean"]
+            r["default_path"] = f"hypothesis beam ({beam_key}, " \
+                                f"mean over {len(hyp[beam_key]['mpjpe'])} seeds)"
+        else:
+            r["our_mpjpe_default"] = r.get("our_mpjpe_pipelined",
+                                           r.get("our_mpjpe"))
+            r["default_path"] = "pipelined"
+    max_rel = max((r["rel_diff_mpjpe"] for r in complete.values()),
+                  default=None)
+    pipelined_ok = all(
+        r["rel_diff_mpjpe_pipelined_effective"] <= r["pipelined_allowed_rel"]
+        for r in complete.values()
+        if "rel_diff_mpjpe_pipelined_effective" in r)
+    max_rel_p = max((r["rel_diff_mpjpe_pipelined_effective"]
+                     for r in complete.values()
+                     if "rel_diff_mpjpe_pipelined_effective" in r),
+                    default=0.0)
+    sec["max_rel_diff_mpjpe_working"] = max_rel
+    sec["max_rel_diff_mpjpe_pipelined_working"] = max_rel_p
+    sec["pass_1pct"] = (max_rel is not None and max_rel < 0.01
+                        and pipelined_ok and len(complete) == len(working))
+    sec["excluded_degenerate"] = sorted(set(results) - set(working))
+    return sec
+
+
+def recompute_realtime(sec: dict) -> dict:
+    """Pass fields for the realtime-budget head-to-head section
+    (tools/realtime_h2h.py): both sides run the PRODUCT budget — max_iter
+    10, lr 1e-2, λ_t 0.02, window 60 (reference DragPoserDLL/main.cpp:
+    28-29) — frame-by-frame on the same closed-loop tracker stream.  There
+    is one column per side (no anchor/pipelined split: the session path IS
+    the product path), gated like the pipelined column: the committed
+    ``seed_sweep_<config>`` mean-vs-mean within ``max(1%, 2*SEM_ref)``
+    when present, the single fixed-seed diff against 1% otherwise.
+    Configs in the degenerate regime (ref_mpjpe >= 0.15 m) are excluded
+    from the bar but must carry sweep evidence (gate test)."""
+    import numpy as np
+
+    results = sec.get("configs", {})
+    WORKING = 0.15
+    working = {k: r for k, r in results.items()
+               if r.get("ref_mpjpe", 1.0) < WORKING}
+    for name, r in results.items():
+        if "rel_diff_mpjpe" not in r:
+            continue
+        sweep = sec.get(f"seed_sweep_{name}")
+        if sweep is not None \
+                and len(sweep.get("reference", {})) >= MIN_SWEEP_SEEDS \
+                and len(sweep.get("ours", [])) >= MIN_SWEEP_SEEDS:
+            ref_vals = np.asarray(
+                [v["mpjpe"] for v in sweep["reference"].values()])
+            mean_ref = float(ref_vals.mean())
+            sem_ref = float(ref_vals.std(ddof=1) / np.sqrt(len(ref_vals)))
+            mean_rel = abs(sweep["our_mpjpe_mean"] - mean_ref) / mean_ref
+            r["rel_diff_mpjpe_effective"] = mean_rel
+            r["allowed_rel"] = max(0.01, 2.0 * sem_ref / mean_ref)
+            r["criterion"] = "sweep_mean_vs_mean"
+        else:
+            r["rel_diff_mpjpe_effective"] = r["rel_diff_mpjpe"]
+            r["allowed_rel"] = 0.01
+            r["criterion"] = "single_draw"
+    gated = [r for r in working.values() if "rel_diff_mpjpe_effective" in r]
+    sec["pass_realtime"] = (len(gated) == len(working) and all(
+        r["rel_diff_mpjpe_effective"] <= r["allowed_rel"] for r in gated))
+    sec["excluded_degenerate"] = sorted(set(results) - set(working))
+    return sec
+
+
+def recompute_pass(artifact: dict) -> dict:
+    """Recompute every clip section + the cross-clip aggregate in place."""
+    recompute_section(artifact)
+    ok = [artifact["pass_1pct"]]
+    for sec in artifact.get("clips", {}).values():
+        if "configs" in sec:
+            recompute_section(sec)
+            ok.append(sec["pass_1pct"])
+    if "realtime" in artifact:
+        recompute_realtime(artifact["realtime"])
+        ok.append(artifact["realtime"]["pass_realtime"])
+    artifact["pass_1pct_all_clips"] = all(ok)
     return artifact
 
 
-def run_reference(workdir: str, frames: int, config: str) -> dict:
+def run_reference(workdir: str, frames: int, config: str,
+                  clip: str = "example") -> dict:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU run: stay off the TPU tunnel
+    spec = CLIPS[clip]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
-         workdir, str(frames), config],
-        capture_output=True, text=True, env=env, timeout=7200,
+         workdir, str(frames), config, "none", spec["path"],
+         str(spec["start"])],
+        capture_output=True, text=True, env=env, timeout=14400,
     )
     assert out.returncode == 0, out.stderr[-3000:]
 
@@ -146,6 +300,19 @@ def run_reference(workdir: str, frames: int, config: str) -> dict:
             "mpeepe": grab("Mean End Effector Position Error"),
             "jitter": jit,
             "clip": os.path.join(workdir, "clip.bvh")}
+
+
+def materialize_clip(path: str, clip: str, frames: int) -> str:
+    """Write the trimmed clip slice to ``path`` without a reference run."""
+    from dragposer_tpu.io.bvh import BVH
+
+    spec = CLIPS[clip]
+    b = BVH().load(spec["path"])
+    lo = spec["start"]
+    b.rotations = b.rotations[lo:lo + frames]
+    b.positions = b.positions[lo:lo + frames]
+    b.save(path)
+    return path
 
 
 def run_ours(clip: str, config: str, save_dir: str) -> dict:
@@ -228,9 +395,36 @@ def run_ours_pipelined(engine, means, stds, skeleton, bvh,
     return {"mpjpe_pipelined": float(mpjpe), "mpeepe_pipelined": float(mpeepe)}
 
 
+def ensure_ref_config(name: str, workdir: str) -> str:
+    """Path to the reference-schema JSON for tracker config ``name`` —
+    the shipped one, or (5-tracker, which the reference doesn't ship)
+    synthesized from our builtin preset into ``workdir``."""
+    config = os.path.join(CONFIG_DIR, f"{name}_config.json")
+    if os.path.exists(config):
+        return config
+    from dragposer_tpu.config import BUILTIN_CONFIGS
+
+    cfg = BUILTIN_CONFIGS[name]
+    config = os.path.join(workdir, f"{name}_config.json")
+    with open(config, "w") as f:
+        json.dump({
+            "mask": list(cfg.mask),
+            "weights": [list(w) for w in cfg.weights],
+            "enable_joint_adjustment": cfg.enable_joint_adjustment,
+            "joint_adjustment_indices": list(cfg.joint_adjustment_indices),
+            "joint_adjustment_weight": cfg.joint_adjustment_weight,
+            "lambda_temporal": cfg.lambda_temporal,
+            "temporal_future_window": cfg.temporal_future_window,
+        }, f)
+    return config
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=5052)
+    ap.add_argument("--clip", type=str, default="example",
+                    choices=sorted(CLIPS))
+    ap.add_argument("--frames", type=int, default=None,
+                    help="default: the clip's full committed length")
     ap.add_argument("--configs", type=str, default="6,5,4,3")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "PARITY.json"))
     ap.add_argument("--workroot", type=str, default="/tmp/parity_matrix")
@@ -238,7 +432,15 @@ def main():
                     help="reuse ref_* values from the existing artifact "
                          "(the reference binary is unchanged; only re-run "
                          "and re-certify our side)")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="run ONLY the (slow, torch-CPU) reference side and "
+                         "checkpoint its numbers — lets a background queue "
+                         "measure the reference without ever touching the "
+                         "single-lease TPU tunnel; follow with --reuse-ref "
+                         "to fill in our side")
     args = ap.parse_args()
+    clip_name = args.clip
+    frames = args.frames or CLIPS[clip_name]["frames"]
 
     results = {}
     prev = {}
@@ -247,51 +449,36 @@ def main():
         # batches; the reference side is slow)
         with open(args.out) as f:
             prev = json.load(f)
-        if prev.get("frames") == args.frames:
-            results.update(prev.get("configs", {}))
+        prev_sec = clip_section(prev, clip_name)
+        if prev_sec.get("frames") == frames:
+            results.update(prev_sec.get("configs", {}))
     for n in args.configs.split(","):
         name = f"{n}_trackers"
-        config = os.path.join(CONFIG_DIR, f"{name}_config.json")
-        workdir = os.path.join(args.workroot, name)
+        workdir = os.path.join(args.workroot, clip_name, name)
         os.makedirs(workdir, exist_ok=True)
-        if not os.path.exists(config):
-            # the reference repo ships no 5-tracker JSON; synthesize it from
-            # our builtin preset (same schema) so the reference can run it
-            from dragposer_tpu.config import BUILTIN_CONFIGS
-
-            cfg = BUILTIN_CONFIGS[name]
-            config = os.path.join(workdir, f"{name}_config.json")
-            with open(config, "w") as f:
-                json.dump({
-                    "mask": list(cfg.mask),
-                    "weights": [list(w) for w in cfg.weights],
-                    "enable_joint_adjustment": cfg.enable_joint_adjustment,
-                    "joint_adjustment_indices": list(cfg.joint_adjustment_indices),
-                    "joint_adjustment_weight": cfg.joint_adjustment_weight,
-                    "lambda_temporal": cfg.lambda_temporal,
-                    "temporal_future_window": cfg.temporal_future_window,
-                }, f)
+        config = ensure_ref_config(name, workdir)
         if args.reuse_ref and name in results:
             clip = os.path.join(workdir, "clip.bvh")
             if not os.path.exists(clip):
-                from dragposer_tpu.io.bvh import BVH
-
-                b = BVH().load(
-                    "/root/reference/python/data/example/eval/example.bvh")
-                b.rotations = b.rotations[2000:2000 + args.frames]
-                b.positions = b.positions[2000:2000 + args.frames]
-                b.save(clip)
+                materialize_clip(clip, clip_name, frames)
             r = results[name]
             ref = {"mpjpe": r["ref_mpjpe"], "mpeepe": r["ref_mpeepe"],
                    "jitter": r.get("ref_jitter"), "clip": clip}
-            print(f"== {name}: reference reused "
+            print(f"== {clip_name}/{name}: reference reused "
                   f"(MPJPE {ref['mpjpe']:.6f})", flush=True)
         else:
-            print(f"== {name}: reference ({args.frames} frames, torch "
-                  "CPU)...", flush=True)
-            ref = run_reference(workdir, args.frames, config)
+            print(f"== {clip_name}/{name}: reference ({frames} frames, "
+                  "torch CPU)...", flush=True)
+            ref = run_reference(workdir, frames, config, clip=clip_name)
             print(f"   ref MPJPE {ref['mpjpe']:.6f} "
                   f"MPEEPE {ref['mpeepe']:.6f}", flush=True)
+        if args.ref_only:
+            results[name] = {**results.get(name, {}),
+                             "ref_mpjpe": ref["mpjpe"],
+                             "ref_mpeepe": ref["mpeepe"],
+                             "ref_jitter": ref.get("jitter")}
+            _write(args.out, clip_name, frames, results)
+            continue
         ours = run_ours(ref["clip"], config, os.path.join(workdir, "ours"))
         rel = abs(ours["mpjpe"] - ref["mpjpe"]) / ref["mpjpe"]
         rel_p = abs(ours["mpjpe_pipelined"] - ref["mpjpe"]) / ref["mpjpe"]
@@ -308,35 +495,77 @@ def main():
         print(f"   our MPJPE {ours['mpjpe']:.6f}  rel diff {rel*100:.3f}%  "
               f"pipelined {ours['mpjpe_pipelined']:.6f} "
               f"({rel_p*100:.3f}%)", flush=True)
+        # checkpoint after every config (reference runs are slow; a crash
+        # mid-matrix must not lose completed columns)
+        _write(args.out, clip_name, frames, results)
 
-    artifact = {
-        "frames": args.frames, "configs": results,
-        "note": "configs with ref_mpjpe >= 0.15 m are underconstrained "
-                "failure regimes in BOTH implementations — evidenced by the "
-                "committed seed_sweep_3_trackers distributions "
-                "(tools/parity_sweep.py): over the SAME 8 initial-latent "
-                "seeds the reference spans 0.285-0.479 m and ours "
-                "0.288-0.485 m on the full clip; eval_drag --restarts 16 "
-                "(default for the 3_trackers builtin) selects by tracker-"
-                "fit loss with no ground truth and lands at 0.339 m = the "
-                "reference's cross-seed mean; the hypothesis beam "
-                "(hypotheses_3_trackers, the 3_trackers builtin default) "
-                "goes further: mean 0.2485 m over the same 8 seeds — below "
-                "the reference's best seed",
-        "engine_sources_sha": engine_sources_sha(),
-    }
-    for k in prev:  # keep sibling artifacts (parity_sweep / hypotheses_sweep)
-        if k.startswith("seed_sweep_") or k.startswith("hypotheses_"):
-            artifact[k] = prev[k]
-    recompute_pass(artifact)
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=2)
+    artifact = _write(args.out, clip_name, frames, results)
+    sec = clip_section(artifact, clip_name)
     print(json.dumps(
-        {"max_rel_diff_mpjpe_working":
-             artifact["max_rel_diff_mpjpe_working"],
+        {"clip": clip_name,
+         "max_rel_diff_mpjpe_working": sec["max_rel_diff_mpjpe_working"],
          "max_rel_diff_mpjpe_pipelined_working":
-             artifact["max_rel_diff_mpjpe_pipelined_working"],
-         "pass_1pct": artifact["pass_1pct"]}))
+             sec["max_rel_diff_mpjpe_pipelined_working"],
+         "pass_1pct": sec["pass_1pct"],
+         "pass_1pct_all_clips": artifact["pass_1pct_all_clips"]}))
+
+
+class artifact_lock:
+    """Inter-process mutex for PARITY.json read-modify-write cycles: the
+    background reference queue and foreground tools checkpoint into the
+    same artifact."""
+
+    def __init__(self, out_path: str):
+        self._path = out_path + ".lock"
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "w")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+
+
+def _write(out_path: str, clip_name: str, frames: int,
+           results: dict) -> dict:
+    """Merge this clip's matrix into the artifact (keeping every other
+    clip's sections and all sibling sweep artifacts), recompute passes,
+    re-stamp the source hash, write atomically."""
+    with artifact_lock(out_path):
+        return _write_locked(out_path, clip_name, frames, results)
+
+
+def _write_locked(out_path: str, clip_name: str, frames: int,
+                  results: dict) -> dict:
+    artifact = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            artifact = json.load(f)
+    sec = clip_section(artifact, clip_name)
+    sec["frames"] = frames
+    sec["configs"] = results
+    if clip_name == "example":
+        sec.setdefault("note", (
+            "configs with ref_mpjpe >= 0.15 m are underconstrained "
+            "failure regimes in BOTH implementations — evidenced by the "
+            "committed seed_sweep_3_trackers distributions "
+            "(tools/parity_sweep.py); the hypothesis beam "
+            "(hypotheses_3_trackers, the 3_trackers builtin default) is "
+            "the product path for them and its per-clip evidence lives "
+            "next to each clip's matrix"))
+    artifact["engine_sources_sha"] = engine_sources_sha()
+    recompute_pass(artifact)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(artifact, f, indent=2)
+    os.replace(tmp, out_path)
+    return artifact
 
 
 if __name__ == "__main__":

@@ -32,32 +32,40 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 CONFIG_DIR = "/root/reference/python/config"
 
 
-def merge_write(out_path: str, key: str, sweep: dict) -> None:
-    """Checkpoint ``sweep`` into the artifact WITHOUT clobbering concurrent
-    edits: re-read the file, replace only our key, recompute the top-level
-    pass fields (sweep evidence can change the pipelined criterion), write."""
-    from parity_matrix import recompute_pass
+def merge_write(out_path: str, key: str, sweep: dict,
+                clip: str = "example") -> None:
+    """Checkpoint ``sweep`` into ``clip``'s artifact section WITHOUT
+    clobbering concurrent edits (file lock + re-read + replace only our
+    key), recomputing the pass fields (sweep evidence can change the
+    pipelined criterion)."""
+    from parity_matrix import artifact_lock, clip_section, recompute_pass
 
-    with open(out_path) as f:
-        artifact = json.load(f)
-    artifact[key] = sweep
-    recompute_pass(artifact)
-    tmp = out_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(artifact, f, indent=2)
-    os.replace(tmp, out_path)
+    with artifact_lock(out_path):
+        with open(out_path) as f:
+            artifact = json.load(f)
+        clip_section(artifact, clip)[key] = sweep
+        recompute_pass(artifact)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(artifact, f, indent=2)
+        os.replace(tmp, out_path)
 
 
-def reference_mpjpe(workdir: str, frames: int, config: str, seed: int) -> dict:
+def reference_mpjpe(workdir: str, frames: int, config: str, seed: int,
+                    clip: str = "example") -> dict:
+    from parity_matrix import CLIPS
+
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # torch-CPU run: don't let the axon sitecustomize hook grab/block on
     # the single-lease TPU tunnel at interpreter startup
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    spec = CLIPS[clip]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
-         workdir, str(frames), config, str(seed)],
-        capture_output=True, text=True, env=env, timeout=7200,
+         workdir, str(frames), config, str(seed), spec["path"],
+         str(spec["start"])],
+        capture_output=True, text=True, env=env, timeout=14400,
     )
     assert out.returncode == 0, out.stderr[-3000:]
 
@@ -142,15 +150,25 @@ def main():
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--restarts", type=int, default=16)
     ap.add_argument("--config", type=str, default="3_trackers")
+    ap.add_argument("--clip", type=str, default="example")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "PARITY.json"))
     ap.add_argument("--workroot", type=str, default="/tmp/parity_sweep")
     ap.add_argument("--skip-reference", action="store_true",
                     help="reuse reference numbers already in the artifact")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="measure ONLY the reference seeds (torch CPU; "
+                         "checkpointed per seed) — for the background "
+                         "queue; our side + summary fill in on a later "
+                         "full run with --skip-reference")
     args = ap.parse_args()
 
+    from parity_matrix import CLIPS, clip_section, materialize_clip
+
     name = args.config
-    workdir = os.path.join(args.workroot, name)
+    if args.frames == 5052 and args.clip != "example":
+        args.frames = CLIPS[args.clip]["frames"]
+    workdir = os.path.join(args.workroot, args.clip, name)
     os.makedirs(workdir, exist_ok=True)
     config = os.path.join(CONFIG_DIR, f"{name}_config.json")
     if not os.path.exists(config):
@@ -178,12 +196,13 @@ def main():
 
     with open(args.out) as f:
         artifact = json.load(f)
-    sweep = artifact.get(f"seed_sweep_{name}", {})
+    section = clip_section(artifact, args.clip)
+    sweep = section.get(f"seed_sweep_{name}", {})
 
     ref = {int(k): v for k, v in sweep.get("reference", {}).items()}
-    head = artifact.get("configs", {}).get(name)
-    if 2222 not in ref and head is not None \
-            and artifact.get("frames") == args.frames:
+    head = section.get("configs", {}).get(name)
+    if 2222 not in ref and head is not None and "ref_mpjpe" in head \
+            and section.get("frames") == args.frames:
         # the committed head-to-head already ran the reference at its own
         # fixed seed 2222 (train.py:34 via eval_drag.py:23) on this exact
         # clip — reuse that measurement instead of repeating the run
@@ -192,24 +211,24 @@ def main():
         for s in seeds:
             if s in ref:
                 continue
-            print(f"== reference {name} seed {s} "
+            print(f"== reference {args.clip}/{name} seed {s} "
                   f"({args.frames} frames, torch CPU)...", flush=True)
-            r = reference_mpjpe(workdir, args.frames, config, s)
+            r = reference_mpjpe(workdir, args.frames, config, s,
+                                clip=args.clip)
             ref[s] = r
             print(f"   ref MPJPE {r['mpjpe']:.4f}", flush=True)
             # checkpoint after every (slow) reference run
             sweep["reference"] = {str(k): v for k, v in ref.items()}
-            merge_write(args.out, f"seed_sweep_{name}", sweep)
+            merge_write(args.out, f"seed_sweep_{name}", sweep,
+                        clip=args.clip)
+    if args.ref_only:
+        print(json.dumps({"ref_seeds_done": sorted(ref)}))
+        return
 
     clip = os.path.join(workdir, "clip.bvh")
     if not os.path.exists(clip):
         # materialize the trimmed clip without a full reference run
-        from dragposer_tpu.io.bvh import BVH
-
-        b = BVH().load("/root/reference/python/data/example/eval/example.bvh")
-        b.rotations = b.rotations[2000:2000 + args.frames]
-        b.positions = b.positions[2000:2000 + args.frames]
-        b.save(clip)
+        materialize_clip(clip, args.clip, args.frames)
 
     print(f"== ours {name}: {len(seeds)}-seed pipelined sweep...", flush=True)
     ours = ours_sweep(clip, name, seeds, args.frames)
@@ -251,7 +270,7 @@ def main():
         "distributions_overlap": (min(our_vals) <= max(ref_vals)
                                   and min(ref_vals) <= max(our_vals)),
     }
-    merge_write(args.out, f"seed_sweep_{name}", summary)
+    merge_write(args.out, f"seed_sweep_{name}", summary, clip=args.clip)
     print(json.dumps({k: summary[k] for k in
                       ("ref_mpjpe_min", "ref_mpjpe_mean", "ref_mpjpe_max",
                        "our_mpjpe_min", "our_mpjpe_mean", "our_mpjpe_max",

@@ -12,7 +12,13 @@ Prints the reference's Evaluate Loss / MPJPE / MPEEPE / Time, and leaves its
 output BVH in <workdir>/data/ for direct comparison.
 
 Usage:
-  python tools/run_reference.py <workdir> <frames> [config_json]
+  python tools/run_reference.py <workdir> <frames> [config_json] [seed]
+                                [clip_bvh] [start_frame]
+
+``clip_bvh`` defaults to the primary eval clip (example.bvh) and
+``start_frame`` to 2000 for it (the historical committed slice) / 0 for any
+other clip — the reference's directory mode (eval_drag.py:285-291) evaluates
+whole files, so the other two shipped eval clips run from frame 0.
 """
 
 from __future__ import annotations
@@ -29,7 +35,8 @@ REF_BVH = "/root/reference/python/data/example/eval/example.bvh"
 
 
 def main(workdir: str, frames: int, config_json: str | None,
-         init_seed: int | None = None) -> None:
+         init_seed: int | None = None, clip_bvh: str | None = None,
+         start: int | None = None) -> None:
     sys.path.insert(0, os.path.join(REPO, "tools", "pymotion_shim"))
     sys.path.insert(0, REPO)
     sys.path.insert(0, REF_SRC)
@@ -48,8 +55,10 @@ def main(workdir: str, frames: int, config_json: str | None,
     # trimmed input clip (the reference runs whole files)
     from dragposer_tpu.io.bvh import BVH
 
-    b = BVH().load(REF_BVH)
-    start = 2000
+    src = clip_bvh or REF_BVH
+    if start is None:
+        start = 2000 if os.path.abspath(src) == os.path.abspath(REF_BVH) else 0
+    b = BVH().load(src)
     b.rotations = b.rotations[start : start + frames]
     b.positions = b.positions[start : start + frames]
     clip = os.path.join(workdir, "clip.bvh")
@@ -84,5 +93,8 @@ if __name__ == "__main__":
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refrun"
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     config = sys.argv[3] if len(sys.argv) > 3 else None
-    seed = int(sys.argv[4]) if len(sys.argv) > 4 else None
-    main(workdir, frames, config, init_seed=seed)
+    seed = (int(sys.argv[4])
+            if len(sys.argv) > 4 and sys.argv[4] != "none" else None)
+    clip = sys.argv[5] if len(sys.argv) > 5 else None
+    start = int(sys.argv[6]) if len(sys.argv) > 6 else None
+    main(workdir, frames, config, init_seed=seed, clip_bvh=clip, start=start)
