@@ -9,9 +9,21 @@ Baselines (full 5052-frame eval clip, PARITY.json):
 Usage:
   python tools/hypotheses_sweep.py models/model_dancedb_example \
       [--config 3_trackers] [--frames N] [--grid "R,branch,sigma;..."]
+
+Validation mode (tune/validate split — the beam's hyperparameters were
+selected on the primary clip, so its quality claim must hold on clips it
+was NOT tuned on):
+  python tools/hypotheses_sweep.py models/model_dancedb_example \
+      --validate-defaults --clip example_2 [--seeds 8]
+runs the beam at the COMMITTED builtin defaults (config.py) over N init
+seeds on that clip and merges the distribution into PARITY.json's clip
+section as ``hypotheses_3_trackers`` (same shape as the primary clip's
+committed evidence; pass/fail vs the reference's per-clip seed sweep is
+recorded by parity_matrix.recompute_section / the gate tests).
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -20,6 +32,7 @@ import jax
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dragposer_tpu import config as cfg
 from dragposer_tpu import export, metrics
@@ -32,6 +45,92 @@ from dragposer_tpu.ops.topology import Skeleton
 EVAL_BVH = "/root/reference/python/data/example/eval/example.bvh"
 
 
+def validate_defaults(model_dir: str, clip_name: str, config_name: str,
+                      n_seeds: int, out_path: str):
+    """Beam at the committed builtin defaults, over ``n_seeds`` init seeds,
+    on ``clip_name`` — merged into the clip's PARITY section."""
+    from parity_matrix import CLIPS, artifact_lock, clip_section, \
+        recompute_pass, _beam_default_key
+
+    c = cfg.BUILTIN_CONFIGS[config_name]
+    R, K = c.default_restarts, c.default_branch_survivors
+    branch, sigma = c.default_branch_every, c.default_branch_sigma
+    assert branch > 0 and R > 1, "builtin defaults do not enable the beam"
+    key_name = _beam_default_key()
+
+    spec = CLIPS[clip_name]
+    bvh = BVH().load(spec["path"])
+    lo = spec["start"]
+    bvh.rotations = bvh.rotations[lo:lo + spec["frames"]]
+    bvh.positions = bvh.positions[lo:lo + spec["frames"]]
+    rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    skeleton = Skeleton.build(parents, offsets, bvh.names)
+    engine, means, stds = build_engine(model_dir, parents,
+                                       resolve_config(config_name),
+                                       skeleton=skeleton)
+    motion = encoding.encode_motion(
+        offsets, pos[:, 0, :], rots, skeleton,
+        downsample=cfg.VAE_PARAM["downsample"],
+        height_indices=cfg.HEIGHT_INDICES,
+    )
+    norm = encoding.normalize(motion, means, stds)
+    dqs, gp, gr = norm.dqs, norm.global_pos, norm.global_rot
+    initial_pose = np.tile(dqs[0][:, None], (1, cfg.VAE_PARAM["window_size"]))
+
+    # same seed list as the primary clip's committed evidence
+    seeds = list(range(n_seeds - 1)) + [cfg.VAE_PARAM["seed"]]
+    mpjpes = []
+    for s in seeds:
+        t0 = time.time()
+        out, _, _ = run_hypotheses(
+            engine, jax.random.PRNGKey(s), R, dqs, gp, gr,
+            motion.heights[0], initial_pose,
+            branch_every=branch, sigma=sigma, survivors=K)
+        out_bvh = export.result_to_bvh(out.pose, means, stds, bvh, skeleton,
+                                       global_pos=out.global_pos,
+                                       are_root_rot_incr=False)
+        tmp = f"/tmp/hyp_validate_{clip_name}_{s}.bvh"
+        out_bvh.save(tmp)
+        mpjpe, _ = metrics.positional_error(bvh, BVH().load(tmp))
+        mpjpes.append(round(float(mpjpe), 4))
+        print(f"   {clip_name} seed {s}: beam MPJPE {mpjpe:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    with artifact_lock(out_path):
+        with open(out_path) as f:
+            artifact = json.load(f)
+        sec = clip_section(artifact, clip_name)
+        ref_sweep = sec.get(f"seed_sweep_{config_name}", {})
+        rv = [v["mpjpe"] for v in ref_sweep.get("reference", {}).values()]
+        entry = {
+            "frames": spec["frames"],
+            "what": (f"hypothesis beam at the COMMITTED defaults "
+                     f"(R={R} K={K} branch={branch} sigma={sigma}) on a "
+                     f"clip the defaults were NOT tuned on — full-clip "
+                     f"MPJPE per init seed, no ground truth consulted by "
+                     f"selection"),
+            "seeds": seeds,
+            key_name: {"mpjpe": mpjpes,
+                       "mean": round(float(np.mean(mpjpes)), 4),
+                       "worst": round(float(np.max(mpjpes)), 4)},
+        }
+        if rv:
+            entry["baselines"] = {
+                "reference_seed_sweep_best": min(rv),
+                "reference_seed_sweep_mean": float(np.mean(rv)),
+            }
+            entry["beam_beats_ref_best_seed"] = \
+                float(np.mean(mpjpes)) <= min(rv)
+            entry["beam_worst_seed_vs_ref_best"] = float(np.max(mpjpes))
+        sec[f"hypotheses_{config_name}"] = entry
+        recompute_pass(artifact)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(artifact, f, indent=2)
+        os.replace(tmp, out_path)
+    print(json.dumps(entry[key_name] | {"clip": clip_name}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model_dir")
@@ -41,7 +140,18 @@ def main():
     ap.add_argument("--seed", type=int, default=cfg.VAE_PARAM["seed"])
     ap.add_argument("--grid", default="16,64,0.25;16,16,0.25;16,256,0.25;"
                                       "16,64,0.1;16,64,0.5;16,5052,0.25")
+    ap.add_argument("--validate-defaults", action="store_true")
+    ap.add_argument("--clip", default="example_2")
+    ap.add_argument("--seeds-n", type=int, default=8, dest="seeds_n")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY.json"))
     args = ap.parse_args()
+
+    if args.validate_defaults:
+        validate_defaults(args.model_dir, args.clip, args.config,
+                          args.seeds_n, args.out)
+        return
 
     bvh = BVH().load(args.bvh)
     rots, pos, parents, offsets, _ = encoding.info_from_bvh(bvh)
