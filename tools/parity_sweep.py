@@ -144,6 +144,38 @@ def ours_sweep(clip: str, config_name: str, seeds: list[int],
     return results
 
 
+def ours_anchor_sweep(clip: str, config_name: str, seeds: list[int],
+                      workdir: str) -> list[dict]:
+    """Per-seed full-clip MPJPE through the ANCHOR path (``engine.run``
+    via ``evaluate_file`` — the numeric-parity program, not the pipelined
+    production path).  Measures the anchor program's own init-seed
+    distribution so a >1% matched-seed draw on a chaotic short clip can be
+    adjudicated by mean-vs-mean instead of a single draw
+    (parity_matrix.recompute_section route 3)."""
+    from dragposer_tpu.cli.eval_drag import (build_engine, evaluate_file,
+                                             resolve_config)
+    from dragposer_tpu.data import encoding
+    from dragposer_tpu.io.bvh import BVH
+    from dragposer_tpu.ops.topology import Skeleton
+
+    bvh = BVH().load(clip)
+    _, _, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    skeleton = Skeleton.build(parents, offsets, bvh.names)
+    engine, means, stds = build_engine(
+        os.path.join(REPO, "models", "model_dancedb_example"),
+        parents, resolve_config(config_name), skeleton=skeleton,
+    )
+    results = []
+    for s in seeds:
+        mpjpe, mpeepe, _, _ = evaluate_file(
+            engine, means, stds, skeleton, clip,
+            save_dir=os.path.join(workdir, f"anchor_{s}"), seed=s)
+        results.append({"seed": s, "mpjpe": float(mpjpe),
+                        "mpeepe": float(mpeepe)})
+        print(f"   ours anchor seed {s}: MPJPE {mpjpe:.4f}", flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=5052)
@@ -161,6 +193,10 @@ def main():
                          "checkpointed per seed) — for the background "
                          "queue; our side + summary fill in on a later "
                          "full run with --skip-reference")
+    ap.add_argument("--anchor", action="store_true",
+                    help="additionally sweep the ANCHOR path (engine.run "
+                         "per seed) and merge as 'ours_anchor' — route 3 "
+                         "of the anchor criterion")
     args = ap.parse_args()
 
     from parity_matrix import CLIPS, clip_section, materialize_clip
@@ -229,6 +265,20 @@ def main():
     if not os.path.exists(clip):
         # materialize the trimmed clip without a full reference run
         materialize_clip(clip, args.clip, args.frames)
+
+    if args.anchor:
+        print(f"== ours {name}: {len(seeds)}-seed ANCHOR sweep...",
+              flush=True)
+        anchor_runs = ours_anchor_sweep(clip, name, seeds, workdir)
+        sweep["ours_anchor"] = anchor_runs
+        av = [o["mpjpe"] for o in anchor_runs]
+        sweep["our_anchor_mpjpe_min"] = min(av)
+        sweep["our_anchor_mpjpe_max"] = max(av)
+        sweep["our_anchor_mpjpe_mean"] = float(np.mean(av))
+        merge_write(args.out, f"seed_sweep_{name}", sweep, clip=args.clip)
+        print(json.dumps({"our_anchor_mpjpe_mean": sweep["our_anchor_mpjpe_mean"],
+                          "our_anchor_spread": [min(av), max(av)]}))
+        return
 
     print(f"== ours {name}: {len(seeds)}-seed pipelined sweep...", flush=True)
     ours = ours_sweep(clip, name, seeds, args.frames)

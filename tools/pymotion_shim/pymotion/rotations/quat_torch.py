@@ -5,16 +5,32 @@ from __future__ import annotations
 import torch
 
 
+def _own(q):
+    """Detach the result of view-taking from the caller's storage.
+
+    The reference mutates quaternion buffers in place between graph
+    construction and backward (e.g. ``from_root_quat``'s per-joint loop,
+    ``loss.py:7-32``, writes ``rotations[..., j, :] = mul(...)`` on the
+    same tensor it reads).  If these ops saved VIEWS of that buffer for
+    backward, the later in-place writes would bump the version counter
+    and the grad-of-grad consecutive loss (``loss.py:158``) would fail.
+    A ``clone`` is differentiable, numerically identity, and gives
+    backward version-stable operands."""
+    return q.clone() if torch.is_tensor(q) and q.requires_grad else q
+
+
 def normalize(q):
     return q / torch.norm(q, dim=-1, keepdim=True)
 
 
 def inverse(q):
+    q = _own(q)
     conj = q * torch.tensor([1.0, -1.0, -1.0, -1.0], device=q.device)
     return conj / torch.sum(q * q, dim=-1, keepdim=True)
 
 
 def mul(q1, q2):
+    q1, q2 = _own(q1), _own(q2)
     w1, x1, y1, z1 = torch.unbind(q1, -1)
     w2, x2, y2, z2 = torch.unbind(q2, -1)
     return torch.stack(
@@ -29,6 +45,7 @@ def mul(q1, q2):
 
 
 def mul_vec(q, v):
+    q, v = _own(q), _own(v)
     qw = q[..., :1]
     qv = q[..., 1:]
     t = 2.0 * torch.cross(qv, v, dim=-1)
@@ -36,6 +53,7 @@ def mul_vec(q, v):
 
 
 def to_matrix(q):
+    q = _own(q)
     w, x, y, z = torch.unbind(q, -1)
     x2, y2, z2 = x + x, y + y, z + z
     xx, yy, zz = x * x2, y * y2, z * z2
