@@ -108,6 +108,27 @@ def test_parity_default_column_reflects_product_path():
                     (name, cname, r["default_path"])
 
 
+def test_realtime_budget_head_to_head():
+    """The product realtime budget (max_iter=10, lambda_t=0.02, window=60 —
+    reference DragPoserDLL/main.cpp:28-29) has a committed head-to-head:
+    reference run_drag.RunDrag vs RealtimeSession on the same closed-loop
+    tracker stream (tools/realtime_h2h.py), gated by the same
+    dispersion-aware criterion as the offline matrix."""
+    art = _load()
+    sec = art.get("realtime")
+    assert sec, "realtime section missing — run tools/realtime_h2h.py"
+    assert "6_trackers" in sec["configs"]
+    assert sec["pass_realtime"], sec["configs"]
+    for cname, r in sec["configs"].items():
+        if cname in sec.get("excluded_degenerate", []):
+            # degenerate regime: exclusion needs committed sweep evidence
+            sweep = sec.get(f"seed_sweep_{cname}")
+            assert sweep is not None and sweep["distributions_overlap"], \
+                (cname, sweep)
+            continue
+        assert r["rel_diff_mpjpe_effective"] <= r["allowed_rel"], (cname, r)
+
+
 def test_parity_degenerate_exclusion_is_evidenced():
     """Any 1%-bar exclusion must be backed by committed seed-sweep data
     (tools/parity_sweep.py) IN THAT CLIP's section, not prose: either
