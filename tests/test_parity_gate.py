@@ -129,6 +129,28 @@ def test_realtime_budget_head_to_head():
         assert r["rel_diff_mpjpe_effective"] <= r["allowed_rel"], (cname, r)
 
 
+def test_beam_validated_on_untuned_clips():
+    """The hypothesis beam's default knobs (R=64, K=8, branch 512, σ 0.25)
+    were tuned on the primary clip; the accuracy claim requires committed
+    validation on clips the defaults were NOT tuned on
+    (``tools/hypotheses_sweep.py --validate-defaults``), with the honest
+    per-clip comparison against the reference's own seed sweep recorded
+    either way."""
+    art = _load()
+    for name in ("example_2", "example_3"):
+        sec = art["clips"][name]
+        h = sec.get("hypotheses_3_trackers")
+        assert h, f"beam validation missing on {name} — run " \
+                  f"tools/hypotheses_sweep.py --validate-defaults " \
+                  f"--clip {name}"
+        beam_keys = [k for k in h if k.startswith("beam_")]
+        assert beam_keys, h.keys()
+        assert len(h[beam_keys[0]]["mpjpe"]) >= 8, h[beam_keys[0]]
+        assert "beam_beats_ref_best_seed" in h, h.keys()
+        assert "baselines" in h, h.keys()
+
+
+
 def test_parity_degenerate_exclusion_is_evidenced():
     """Any 1%-bar exclusion must be backed by committed seed-sweep data
     (tools/parity_sweep.py) IN THAT CLIP's section, not prose: either
