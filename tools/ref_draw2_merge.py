@@ -1,0 +1,91 @@
+"""Add the second independent 100-epoch training draw of the REFERENCE
+trainer to PARITY.json's ``training_vae`` section.
+
+Symmetry closure for the draw-variance claim: the committed section has
+TWO training draws of our trainer (init 2222 and 100) but only ONE of the
+reference's (its own seed 2222).  This merges a second reference draw
+(the unmodified train.py with only ``param['seed']`` redirected —
+reference train.py:52-54) so BOTH trainers carry a draw spread, and the
+"the equal-epoch gap is draw variance" conclusion rests on a symmetric
+2×2 design rather than 2-vs-1.
+
+  python tools/ref_draw2_merge.py \
+      --draw2-train /tmp/train_h2h/ref_draw2/ref_train.json \
+      --draw2-eval /tmp/eval_ref_draw2.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--draw2-train", required=True,
+                    help="JSON {model_dir, train_seconds, seed}")
+    ap.add_argument("--draw2-eval", required=True,
+                    help="JSON [{seed,mpjpe,mpeepe}..] eval sweep of the "
+                         "second reference-draw checkpoint")
+    args = ap.parse_args()
+
+    with open(args.draw2_train) as f:
+        tr = json.load(f)
+    with open(args.draw2_eval) as f:
+        rows = json.load(f)
+    vals = [r["mpjpe"] for r in rows]
+
+    from parity_matrix import artifact_lock
+
+    out_path = os.path.join(REPO, "PARITY.json")
+    with artifact_lock(out_path):
+        with open(out_path) as f:
+            artifact = json.load(f)
+        t = artifact["training_vae"]
+        ref_draw1_mean = t["eval_seed_sweep"]["reference"]["mean"]
+        our_draw1_mean = t["eval_seed_sweep"]["ours"]["mean"]
+        our_draw2_mean = t["second_training_draw"]["eval_seed_sweep"]["mean"]
+        draw2_mean = float(np.mean(vals))
+        ref_spread = sorted([ref_draw1_mean, draw2_mean])
+        our_spread = sorted([our_draw1_mean, our_draw2_mean])
+        t["second_reference_draw"] = {
+            "what": ("the REFERENCE trainer re-run at the same 100 epochs "
+                     "with a different init seed (unmodified train.py, "
+                     "param['seed'] redirected); together with "
+                     "second_training_draw this makes the draw-variance "
+                     "evidence symmetric: two independent training draws "
+                     "per side, each with a 4-seed eval sweep"),
+            "train_seed": tr.get("seed", 100),
+            "train_seconds": tr["train_seconds"],
+            "eval_seed_sweep": {
+                "per_seed": rows,
+                "mean": draw2_mean,
+                "min": float(min(vals)),
+                "max": float(max(vals)),
+            },
+            "ref_draw_spread": ref_spread,
+            "our_draw_spread": our_spread,
+            "draw_spreads_overlap": bool(
+                max(ref_spread[0], our_spread[0])
+                <= min(ref_spread[1], our_spread[1])),
+            "our_mean_of_draws_not_worse": bool(
+                float(np.mean(our_spread))
+                <= float(np.mean(ref_spread)) * 1.02),
+        }
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(artifact, f, indent=2)
+        os.replace(tmp, out_path)
+    print(json.dumps(t["second_reference_draw"], indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,9 +36,10 @@ DATA = "/root/reference/python/data/example"
 EVAL_CLIP = "example"  # primary clip slice for checkpoint-quality eval
 
 
-def run_ref_train(workdir: str, epochs: int) -> dict:
+def run_ref_train(workdir: str, epochs: int, seed: int = None) -> dict:
     """The unmodified reference train.py, patched only in epoch count (the
-    recipe's one free knob for a budget-matched comparison), executed
+    recipe's one free knob for a budget-matched comparison) and optionally
+    the init seed (for independent-draw variance evidence), executed
     in-process (call via the subprocess wrapper)."""
     import types
 
@@ -52,6 +53,8 @@ def run_ref_train(workdir: str, epochs: int) -> dict:
     import train  # the reference module
 
     train.param["epochs"] = epochs
+    if seed is not None:
+        train.param["seed"] = seed  # consumed at train.py:52-54
     args = types.SimpleNamespace(data_path=DATA, name="h2h", load=False,
                                  fk=True)
     t0 = time.time()
@@ -62,16 +65,18 @@ def run_ref_train(workdir: str, epochs: int) -> dict:
     return {"model_dir": model_dir, "train_seconds": elapsed}
 
 
-def run_ref_subprocess(workdir: str, epochs: int) -> dict:
+def run_ref_subprocess(workdir: str, epochs: int, seed: int = None) -> dict:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     out_json = os.path.join(workdir, "ref_train.json")
+    cmd = [sys.executable, os.path.abspath(__file__), "--side", "ref",
+           "--epochs", str(epochs), "--workdir", workdir,
+           "--json-out", out_json]
+    if seed is not None:
+        cmd += ["--train-seed", str(seed)]
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--side", "ref",
-         "--epochs", str(epochs), "--workdir", workdir,
-         "--json-out", out_json],
-        capture_output=True, text=True, env=env, timeout=28800,
+        cmd, capture_output=True, text=True, env=env, timeout=28800,
     )
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
     with open(out_json) as f:
@@ -127,10 +132,15 @@ def main():
     ap.add_argument("--skip-ref-train", action="store_true",
                     help="reuse an existing reference checkpoint in "
                          "<workdir>/ref")
+    ap.add_argument("--train-seed", type=int, default=None,
+                    help="override the trainer's init seed (reference "
+                         "default 2222) — used for independent-draw runs")
     args = ap.parse_args()
 
     if args.side == "ref":
-        res = run_ref_train(args.workdir, args.epochs)
+        res = run_ref_train(args.workdir, args.epochs, seed=args.train_seed)
+        if args.train_seed is not None:
+            res["seed"] = args.train_seed
         print(json.dumps(res))
         if args.json_out:
             with open(args.json_out, "w") as f:
