@@ -107,6 +107,9 @@ class FrameOutput(NamedTuple):
     iterations: jnp.ndarray  # () int32 — Adam iterations used
     loss_pos: jnp.ndarray    # () final weighted EE position MSE
     loss_rot: jnp.ndarray    # () final weighted EE rotation MSE (λ applied)
+    latent: jnp.ndarray      # (L,) optimized latent the frame decoded from
+    #                          (GT-free lineage scoring / observability;
+    #                           the reference exposes no analog)
 
 
 class DragState(NamedTuple):
@@ -325,7 +328,9 @@ def _rollout_where_needed(model: DragModel, hyper: DragHyper, tparam,
     :func:`rollout_lane_budget`); their inputs are row-GATHERED (cheap on
     TPU — it is per-lane scatters that serialize), the sub-batch runs the
     same ``_temporal_rollout_core_T`` (per-lane arithmetic is batch-
-    independent, so results are bitwise equal to the full-batch rollout),
+    independent; agreement with the full-batch rollout is fp-level, not
+    bitwise — the (R, ·) and (B, ·) programs vectorize differently and
+    the buffer is autoregressive, see tests/test_pipeline.py),
     and one ``.at[idx].set`` row-scatter writes the R rows back.  When
     MORE than R lanes need a rollout (first frames, phase clustering),
     fall back to the full-batch rollout — never wrong, just unamortized.
@@ -631,6 +636,7 @@ def _advance_core(model: DragModel, hyper: DragHyper, state_global_pos,
     out = FrameOutput(
         pose=pose_out, global_pos=global_pos, iterations=final.t,
         loss_pos=final.loss_pos, loss_rot=final.loss_rot,
+        latent=final.latent,
     )
     return global_pos, global_rot, displacement, heights, current_index, out
 

@@ -52,7 +52,7 @@ from dragposer_tpu.drag import engine as eng
 def run_hypotheses(engine: "eng.DragEngine", key, n_hypotheses: int,
                    dqs, gp, gr, heights0, initial_pose, *,
                    branch_every: int = 512, sigma: float = 0.25,
-                   survivors: int = 8):
+                   survivors: int = 8, return_all: bool = False):
     """Beam-drag a full sequence.
 
     Args:
@@ -74,6 +74,13 @@ def run_hypotheses(engine: "eng.DragEngine", key, n_hypotheses: int,
       resampling map per chunk (n_chunks, R) — ``parents[c, j]`` is the
       lane whose lineage lane ``j`` carried INTO chunk ``c``; ``scores``
       the per-chunk per-lane fit losses (n_chunks, R).
+
+      With ``return_all=True``, ``out`` instead stacks EVERY surviving
+      lineage with a leading R axis and a fourth element ``cum`` (R,) —
+      the final cumulative fit losses (winner = argmin) — is appended.
+      Diagnostic surface for selection-quality studies
+      (``tools/diag_beam_selection.py``); the product path keeps the
+      3-tuple shape.
     """
     R = int(n_hypotheses)
     K = max(1, min(int(survivors), R))
@@ -132,6 +139,13 @@ def run_hypotheses(engine: "eng.DragEngine", key, n_hypotheses: int,
         else:
             parents_log.append(np.arange(R))
 
+    if return_all:
+        lineages = [
+            jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *hist[j])
+            for j in range(R)
+        ]
+        out = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *lineages)
+        return out, np.stack(parents_log), np.stack(scores_log), cum
     best = int(np.argmin(cum))
     out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *hist[best])
     return out, np.stack(parents_log), np.stack(scores_log)

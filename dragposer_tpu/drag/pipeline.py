@@ -400,5 +400,6 @@ def run_batch_pipelined(model, statics, skeleton, hyper: eng.DragHyper,
         iterations=co.iterations,
         loss_pos=co.loss_pos,
         loss_rot=co.loss_rot,
+        latent=jnp.where(valid, co.latent.reshape(B, T, -1), 0.0),
     )
     return _unflatten_state(final.state, P), outs

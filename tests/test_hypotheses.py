@@ -199,6 +199,32 @@ def test_evaluate_batched_beam_cli_path(example_bvh_path, tmp_path):
         assert 0.0 < mpjpe < 1.0
 
 
+def test_return_all_exposes_pool_and_matches_winner(example_bvh_path):
+    """return_all=True (the selection-diagnostics surface): stacks all R
+    final lineages plus their cumulative fit losses, and the argmin-cum
+    lineage is bit-identical to the default path's emitted winner."""
+    engine, n, m, initial_pose = _setup(example_bvh_path)
+    key = jax.random.PRNGKey(5)
+    R = 4
+    kw = dict(branch_every=8, sigma=0.5, survivors=2)
+    win, parents_w, scores_w = run_hypotheses(
+        engine, key, R, n.dqs, n.global_pos, n.global_rot, m.heights[0],
+        initial_pose, **kw)
+    allout, parents_a, scores_a, cum = run_hypotheses(
+        engine, key, R, n.dqs, n.global_pos, n.global_rot, m.heights[0],
+        initial_pose, return_all=True, **kw)
+    T = n.dqs.shape[0]
+    assert allout.pose.shape[:2] == (R, T)
+    assert cum.shape == (R,)
+    np.testing.assert_array_equal(parents_w, parents_a)
+    np.testing.assert_array_equal(scores_w, scores_a)
+    best = int(np.argmin(cum))
+    np.testing.assert_array_equal(np.asarray(allout.pose[best]),
+                                  np.asarray(win.pose))
+    np.testing.assert_array_equal(np.asarray(allout.global_pos[best]),
+                                  np.asarray(win.global_pos))
+
+
 def test_incumbent_never_lost(example_bvh_path):
     """Survivor lanes continue exactly: with sigma=0 every lane collapses
     onto the survivors, and the emitted lineage's per-chunk losses must
