@@ -636,7 +636,10 @@ def _advance_core(model: DragModel, hyper: DragHyper, state_global_pos,
     out = FrameOutput(
         pose=pose_out, global_pos=global_pos, iterations=final.t,
         loss_pos=final.loss_pos, loss_rot=final.loss_rot,
-        latent=final.latent,
+        # decoded_latent, NOT final.latent: `aux.pose` above was decoded from
+        # the PRE-step latent, and the pipelined runtime (pipeline.py) records
+        # the same value — both runtimes must agree on FrameOutput.latent.
+        latent=final.decoded_latent,
     )
     return global_pos, global_rot, displacement, heights, current_index, out
 

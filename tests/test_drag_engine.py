@@ -208,6 +208,32 @@ def test_batched_matches_single(setup):
     assert np.abs(np.asarray(ib)[1].astype(int) - np.asarray(i2).astype(int)).max() <= 2
 
 
+def test_frame_output_latent_decodes_output_pose(setup):
+    """``FrameOutput.latent`` must be the latent the output pose decoded
+    from — the PRE-step ``decoded_latent``, matching the pipelined runtime
+    (``pipeline.py`` records ``opt.decoded_latent``), not the post-Adam-step
+    latent (advisor finding, round 4)."""
+    import jax.numpy as jnp
+
+    from dragposer_tpu.models import vae as vae_mod
+
+    engine, m, n, _ = setup
+    state = _init(engine, m, n)
+    F = 6
+    _, out = engine.run(state, n.dqs[:F], n.global_pos[:F], n.global_rot[:F])
+    model = engine.model
+    pose_n, _ = vae_mod.decode_folded_flat(
+        model.decoder, jnp.asarray(out.latent), model.mean_dqs, model.std_dqs
+    )
+    # slot 0 (root quat) is overwritten with the world rotation after the
+    # decode; every other channel must match the decode of the recorded
+    # latent (cross-program tolerance: separately compiled decode).
+    np.testing.assert_allclose(
+        np.asarray(pose_n)[:, 4:], np.asarray(out.pose)[:, 4:],
+        rtol=2e-4, atol=1e-4,
+    )
+
+
 def _reference_hold_simulation(window: int, step: int) -> np.ndarray:
     """Slot-for-slot simulation of the reference's target-buffer fill
     (``drag_pose.py:272-290``) using 0-indexed prediction ids.

@@ -216,8 +216,12 @@ def test_rollout_where_needed_matches_full(example_bvh_path):
                                    np.asarray(ref)[:, 0],
                                    rtol=2e-4, atol=1e-5,
                                    err_msg=f"n_need={n_need} row0")
+        # whole-buffer bound at the observed cross-program envelope with
+        # ~4x margin (worst seen 4.3e-3 absolute): tight enough that a
+        # real gather/scatter or row-permutation bug in later rows fails,
+        # loose enough for autoregressive fp divergence (advisor, r4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=0.3, atol=2e-2,
+                                   rtol=1e-2, atol=2e-2,
                                    err_msg=f"n_need={n_need}")
         # un-needed lanes keep their buffer BITWISE (pure select)
         keep = ~need

@@ -63,7 +63,10 @@ def main():
                      "second_training_draw this makes the draw-variance "
                      "evidence symmetric: two independent training draws "
                      "per side, each with a 4-seed eval sweep"),
-            "train_seed": tr.get("seed", 100),
+            # loud failure, no fabricated default: the train record only
+            # carries "seed" when the run was made with an explicit
+            # --train-seed (advisor, r4)
+            "train_seed": tr["seed"],
             "train_seconds": tr["train_seconds"],
             "eval_seed_sweep": {
                 "per_seed": rows,
@@ -76,7 +79,10 @@ def main():
             "draw_spreads_overlap": bool(
                 max(ref_spread[0], our_spread[0])
                 <= min(ref_spread[1], our_spread[1])),
-            "our_mean_of_draws_not_worse": bool(
+            # named for what it tests: mean-of-draws within a 2% grace
+            # band of the reference's (draw variance per eval seed is
+            # ~20%; the band absorbs fp-level asymmetry only)
+            "our_mean_within_2pct_of_ref": bool(
                 float(np.mean(our_spread))
                 <= float(np.mean(ref_spread)) * 1.02),
         }

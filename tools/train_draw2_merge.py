@@ -55,7 +55,8 @@ def main():
                      "different init seed; spread across training draws "
                      "bounds how much of equal_epochs_gap_eval_mean is "
                      "draw variance rather than trainer quality"),
-            "train_seed": tr.get("seed", 100),
+            # loud failure, no fabricated default (advisor, r4)
+            "train_seed": tr["seed"],
             "train_seconds": tr["train_seconds"],
             "eval_seed_sweep": {"per_seed": rows,
                                 "mean": float(np.mean(vals)),
