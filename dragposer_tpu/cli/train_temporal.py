@@ -35,12 +35,16 @@ def main(argv=None):
     parser.add_argument("--load", action="store_true")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--models-root", type=str, default="models")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="init-seed override (default: the recipe's "
+                             "seed, 2222) — used for independent-draw runs")
     args = parser.parse_args(argv)
 
     model_dir = checkpoint.model_paths(args.name, args.data_path,
                                        root=args.models_root)
     train_temporal.train(
         args.data_path, model_dir, epochs=args.epochs, load=args.load,
+        seed=args.seed,
     )
 
 

@@ -250,6 +250,7 @@ def train(
     epochs: int | None = None,
     load: bool = False,
     eval_window_step: int | None = None,
+    seed: int | None = None,
     log=print,
 ) -> Dict:
     param = param or cfg.TEMPORAL_PARAM
@@ -280,7 +281,7 @@ def train(
     eval_param = dict(param, window_step=eval_window_step or param["window_size"])
     eval_data = datasets.build_temporal_dataset(eval_motions, eval_param, means, stds)
 
-    key = jax.random.PRNGKey(vae_param["seed"])
+    key = jax.random.PRNGKey(vae_param["seed"] if seed is None else seed)
     key, init_key, stats_key = jax.random.split(key, 3)
     tparams = tmodel.init_params(init_key, param)
 

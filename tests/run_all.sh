@@ -17,7 +17,14 @@ if [ "$1" = "--fast" ]; then
     shift
 fi
 
+# Build the native layer first (≈30 s warm toolchain) so the L7 proofs —
+# including the drop-in test compiled against the reference's unmodified
+# exportFunc.h — run instead of silently skipping on a fresh checkout.
+echo "== native build (cmake -S native -B build) =="
+cmake -S native -B build -G Ninja >/dev/null || exit 1
+cmake --build build >/dev/null || exit 1
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    DRAGPOSER_REQUIRE_NATIVE=1 \
     python -m pytest tests/ -q "$@" || exit 1
 
 if [ "$SLOW" = "1" ]; then

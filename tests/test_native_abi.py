@@ -18,9 +18,20 @@ MODEL = os.path.join(REPO, "models", "model_scratch_example")
 SKELETON = "/root/reference/python/data/example/eval/example.bvh"
 
 
-@pytest.mark.skipif(not os.path.exists(SMOKE),
-                    reason="native library not built (cmake -S native -B build)")
+def _need(binary: str):
+    """Skip when the native build is absent — except under
+    DRAGPOSER_REQUIRE_NATIVE=1 (set by tests/run_all.sh, which builds
+    native/ first): there a missing binary is a FAILURE, so the L7
+    drop-in proofs can never silently skip in the default runner."""
+    if not os.path.exists(binary):
+        msg = f"native binary missing: {binary} (cmake -S native -B build)"
+        if os.environ.get("DRAGPOSER_REQUIRE_NATIVE"):
+            pytest.fail(msg + " — required because DRAGPOSER_REQUIRE_NATIVE=1")
+        pytest.skip(msg)
+
+
 def test_native_smoke_lifecycle():
+    _need(SMOKE)
     env = dict(os.environ)
     env["DRAGPOSER_PYROOT"] = REPO
     env["JAX_PLATFORMS"] = "cpu"  # hermetic: no TPU dependency in tests
@@ -36,9 +47,8 @@ def test_native_smoke_lifecycle():
 REFCHECK = os.path.join(REPO, "build", "dragposer_smoke_refheader")
 
 
-@pytest.mark.skipif(not os.path.exists(REFCHECK),
-                    reason="refcheck binary not built (cmake -S native -B build)")
 def test_abi_dropin_against_reference_header():
+    _need(REFCHECK)
     """The same smoke lifecycle, but the client TU was compiled against the
     REFERENCE's unmodified exportFunc.h/utils.h declarations
     (DragPoserDLL/exportFunc.h:61-70) and linked against OUR library — the

@@ -135,4 +135,9 @@ def test_daemon_eval_batch(daemon, tmp_path):
 @pytest.fixture(autouse=True)
 def _require_build():
     if not os.path.exists(SMOKE):
-        pytest.skip("native client not built (cmake -S native -B build)")
+        msg = "native client not built (cmake -S native -B build)"
+        if os.environ.get("DRAGPOSER_REQUIRE_NATIVE"):
+            # tests/run_all.sh builds native/ first: a missing binary
+            # there is a build failure, not a skippable environment
+            pytest.fail(msg + " — required because DRAGPOSER_REQUIRE_NATIVE=1")
+        pytest.skip(msg)

@@ -71,6 +71,16 @@ def test_parity_artifact_current():
             if "rel_diff_mpjpe_pipelined_effective" in r:
                 assert (r["rel_diff_mpjpe_pipelined_effective"]
                         <= r["pipelined_allowed_rel"]), (name, cname, r)
+            # jitter bar (BASELINE.json: "MPJPE + jitter vs PyTorch ref"):
+            # every complete non-excluded row must CARRY the jitter
+            # comparison and pass its one-sided allowance — a smoothness
+            # regression can no longer ship unmeasured or ungated
+            if "rel_diff_mpjpe" in r:
+                assert "rel_diff_jitter" in r, (name, cname,
+                                                "jitter not measured")
+                assert r["jitter_ok"], (name, cname,
+                                        r["rel_diff_jitter"],
+                                        r["jitter_allowed_rel"])
     recorded = art.get("engine_sources_sha")
     assert recorded is not None, \
         "PARITY.json predates source certification — re-run " \

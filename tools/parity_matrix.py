@@ -101,6 +101,12 @@ def engine_sources_sha() -> str:
 # sides and the mean-vs-mean difference is the chaos-controlled comparison.
 MIN_SWEEP_SEEDS = 6
 
+# One-sided allowance for the jitter bar (see recompute_section): the
+# worst observed our-vs-ref jitter gap at numerically-matched MPJPE is
+# +3.3%; 5% leaves dispersion headroom while failing any real smoothness
+# regression.
+JITTER_ALLOWED_REL = 0.05
+
 
 def clip_section(artifact: dict, clip: str) -> dict:
     """The artifact sub-dict holding ``clip``'s matrices and sweeps.  The
@@ -250,9 +256,21 @@ def recompute_section(sec: dict) -> dict:
             r["our_mpjpe_default"] = r.get("our_mpjpe_pipelined",
                                            r.get("our_mpjpe"))
             r["default_path"] = "pipelined"
+        # jitter bar (BASELINE.json names "MPJPE + jitter" as the accuracy
+        # metric): one-sided vs the reference's own jitter on the same
+        # clip/config with a 5% allowance — jitter is a third-difference
+        # statistic, noisier across init draws than MPJPE (observed
+        # spread at numerically-matched MPJPE: -0.7%..+3.3% across the 10
+        # measured config/clip cells); a real smoothness regression
+        # (e.g. a broken temporal term, 2x jitter) fails hard.
+        if r.get("ref_jitter") and r.get("our_jitter"):
+            r["rel_diff_jitter"] = r["our_jitter"] / r["ref_jitter"] - 1.0
+            r["jitter_allowed_rel"] = JITTER_ALLOWED_REL
+            r["jitter_ok"] = bool(r["rel_diff_jitter"] <= JITTER_ALLOWED_REL)
     max_rel = max((r["rel_diff_mpjpe"] for r in complete.values()),
                   default=None)
     anchor_ok = all(r.get("anchor_ok") for r in complete.values())
+    jitter_ok = all(r.get("jitter_ok", True) for r in complete.values())
     pipelined_ok = all(
         r["rel_diff_mpjpe_pipelined_effective"] <= r["pipelined_allowed_rel"]
         for r in complete.values()
@@ -263,7 +281,7 @@ def recompute_section(sec: dict) -> dict:
                     default=0.0)
     sec["max_rel_diff_mpjpe_working"] = max_rel
     sec["max_rel_diff_mpjpe_pipelined_working"] = max_rel_p
-    sec["pass_1pct"] = (max_rel is not None and anchor_ok
+    sec["pass_1pct"] = (max_rel is not None and anchor_ok and jitter_ok
                         and pipelined_ok and len(complete) == len(working))
     sec["excluded_degenerate"] = sorted(set(results) - set(working))
     return sec
