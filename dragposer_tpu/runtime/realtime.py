@@ -454,6 +454,40 @@ class RealtimeBatch:
 
         self._init_b = jax.jit(
             jax.vmap(_init, in_axes=(model_axes, 0, 0, 0)))
+
+        def _stagger_fill(model_b, state_b):
+            """Fill every avatar's prediction buffer with ONE init-time
+            full-batch rollout, then spread their window phases evenly
+            over [0, W).  A mass-spawned crowd otherwise steps in
+            lockstep: all lanes hit ``current_index == 0`` on the same
+            frame, so 1 frame in W pays the full-batch rollout (a
+            latency spike that can blow the 60 fps deadline even when
+            the MEAN frame time is fine) while the other W-1 pay none.
+            Staggered phases put ~B/W lanes at a boundary each frame —
+            inside :func:`engine.rollout_lane_budget`'s sub-batch, so
+            every frame costs the same.
+
+            Spawn-time semantics: an avatar at phase k consumes the
+            k-th step of its spawn-time prediction and re-predicts
+            after W-k frames — a ≤W-frame transient on the guidance
+            term only (the spawn pose is zeros for every avatar, as the
+            reference's ``run_drag.py:77-96``); steady state is
+            identical to the unstaggered batch."""
+            import jax.numpy as jnp
+
+            n = state_b.latent.shape[0]
+            w = hyper.temporal_future_window
+            if not hyper.use_temporal or w <= 1:
+                return state_b
+            lat, disp_acc, hts, tok0 = jax.vmap(
+                lambda s: eng._rollout_inputs(s, hyper))(state_b)
+            tbuf = eng._temporal_rollout_core_T(
+                model_b, hyper, tparam, lat, disp_acc, hts, tok0)
+            phases = ((jnp.arange(n) * w) // max(n, 1)) % w
+            return state_b._replace(target_buffer=tbuf,
+                                    current_index=phases.astype(jnp.int32))
+
+        self._stagger_fill = jax.jit(_stagger_fill)
         self._state = None
 
     def _model_b(self):
@@ -469,8 +503,19 @@ class RealtimeBatch:
         return int(np.count_nonzero(self._masks[avatar]))
 
     def init_drag_pose(self, initial_global_pos, initial_global_rot,
-                       seed: int = cfg.VAE_PARAM["seed"]) -> None:
-        """Reset ALL avatars (zero initial pose, as ``run_drag.py:77-96``)."""
+                       seed: int = cfg.VAE_PARAM["seed"],
+                       stagger_phases: bool = False) -> None:
+        """Reset ALL avatars (zero initial pose, as ``run_drag.py:77-96``).
+
+        ``stagger_phases``: spread the avatars' temporal-window phases
+        evenly so the per-frame rollout stays inside the sub-batch lane
+        budget instead of the whole crowd re-predicting on the same
+        frame every W frames (see ``_stagger_fill``).  Avatars that
+        join an already-running batch later (daemon coalescing) start
+        at phase 0 and are naturally staggered by their join time; a
+        burst of > R joiners on one frame degrades that frame to the
+        full-batch rollout — bounded (one unamortized frame), never
+        wrong (``engine._rollout_where_needed``)."""
         import jax
 
         keys = np.tile(
@@ -480,6 +525,8 @@ class RealtimeBatch:
             np.asarray(initial_global_pos, np.float32).reshape(-1, 3),
             np.asarray(initial_global_rot, np.float32).reshape(-1, 4),
         )
+        if stagger_phases:
+            self._state = self._stagger_fill(self._model_b(), self._state)
 
     def drag_pose(self, target_ee_pos, target_ee_rot):
         """One frame for every avatar.  Dense targets: (N, J, 3) positions

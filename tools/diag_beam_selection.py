@@ -36,6 +36,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def constraint_energies(wpos, wrot) -> dict:
+    """Physical-plausibility energies of a reconstructed motion — the
+    reference's commented-out constraint losses (``drag_pose.py:129-183``,
+    live in ``dragposer_tpu/drag/constraints.py``) evaluated as GT-FREE
+    trajectory scores: could they discriminate the wrong-body basins that
+    overfit sparse trackers (round-4 VERDICT #5)?
+
+    ``wpos`` (T, J, 3) world joint positions, ``wrot`` (T, J, 4) world
+    quats (wxyz).  Same formulas/joints/up-axis as the drag-term versions:
+    feet 4/8, head 13, hips 0, up = y, floor 0, support radius 0.2."""
+    feet, head, hips, up = (4, 8), 13, 0, 1
+    e_feet = float(np.mean(wpos[:, feet, up] ** 2))
+    d = wpos[:, head] - wpos[:, hips]
+    d[:, up] = 0.0
+    e_colinear = float(np.mean(np.sum(d * d, axis=-1)))
+    e_support = 0.0
+    for f in feet:
+        d = wpos[:, hips] - wpos[:, f]
+        d[:, up] = 0.0
+        e_support += float(np.mean(
+            np.maximum(np.sum(d * d, axis=-1) - 0.04, 0.0)))
+    # head-forward-in-hips-cone hinge (drag_pose.py:136-154): rotate +z
+    # by the world quats, project to the ground plane
+    fwd = np.zeros((1, 3)); fwd[0, 2] = 1.0                   # noqa: E702
+
+    def rot_vec(q, v):
+        w, xyz = q[..., :1], q[..., 1:]
+        t = 2.0 * np.cross(xyz, v)
+        return v + w * t + np.cross(xyz, t)
+
+    fh = rot_vec(wrot[:, head], fwd); fh[:, up] = 0.0          # noqa: E702
+    fp = rot_vec(wrot[:, hips], fwd); fp[:, up] = 0.0          # noqa: E702
+    nh = np.linalg.norm(fh, axis=-1)
+    npp = np.linalg.norm(fp, axis=-1)
+    cos = np.sum(fh * fp, axis=-1) / np.maximum(nh * npp, 1e-8)
+    term = (1.0 - np.minimum(1.0, cos + 0.2)) ** 2
+    e_forward = float(np.mean(np.where(nh > 0.5, term, 0.0)))
+    return {"e_feet": e_feet, "e_colinear": e_colinear,
+            "e_support": e_support, "e_forward": e_forward,
+            "e_bundle": e_feet + e_colinear + e_support + e_forward}
+
+
+def parse_constraints(spec: str):
+    """'feet_floor:0.5,head_hips_colinear:0.1' -> DragHyper.constraints."""
+    from dragposer_tpu.drag import constraints as C
+
+    out = []
+    for item in spec.split(","):
+        name, w = item.split(":")
+        out.append((getattr(C, name.strip())(), float(w)))
+    return tuple(out)
+
+
 def spearman(a, b) -> float:
     ra = np.argsort(np.argsort(a)).astype(np.float64)
     rb = np.argsort(np.argsort(b)).astype(np.float64)
@@ -68,6 +121,10 @@ def main():
                     help="override the resampling period (>= clip length "
                          "disables resampling: R independent trajectories)")
     ap.add_argument("--sigma", type=float, default=None)
+    ap.add_argument("--constraints", default=None,
+                    help="run the DRAG ITSELF with constraint loss terms, "
+                         "e.g. 'feet_floor:0.5,head_hips_colinear:0.1' "
+                         "(names from dragposer_tpu/drag/constraints.py)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -95,6 +152,14 @@ def main():
     engine, means, stds = build_engine(args.model_dir, parents,
                                        resolve_config(args.config),
                                        skeleton=skeleton)
+    if args.constraints:
+        from dragposer_tpu.drag.engine import DragEngine
+
+        engine = DragEngine(
+            engine.model, engine.statics, engine.skeleton,
+            engine.hyper._replace(constraints=parse_constraints(
+                args.constraints)),
+            engine.tparam)
     motion = encoding.encode_motion(
         offsets, pos[:, 0, :], rots, skeleton,
         downsample=cfg.VAE_PARAM["downsample"],
@@ -131,19 +196,30 @@ def main():
         z = np.asarray(lane.latent, np.float64)            # (T, L)
         s_prior = float(np.mean(z * z))
         s_zvel = float(np.mean(np.sum(np.diff(z, axis=0) ** 2, axis=1)))
+        # constraint energies of the reconstructed trajectory (GT-free)
+        from dragposer_tpu.ops import fk as fk_ops, host_device
+        rrots, rpos, rparents, roffsets, _ = encoding.info_from_bvh(rec)
+        with host_device():
+            rsk = Skeleton.build(rparents, roffsets)
+            wpos, wrot = fk_ops.fk_local(rrots, rpos[:, 0, :], rsk)
+        energies = constraint_energies(np.asarray(wpos), np.asarray(wrot))
         rows.append({"lane": j, "fit": float(cum[j]),
                      "mpjpe": float(mpjpe), "jitter": float(jit),
-                     "s_prior": s_prior, "s_zvel": s_zvel})
+                     "s_prior": s_prior, "s_zvel": s_zvel, **energies})
 
     fit = np.array([r["fit"] for r in rows])
     gt = np.array([r["mpjpe"] for r in rows])
     jt = np.array([r["jitter"] for r in rows])
     spr = np.array([r["s_prior"] for r in rows])
     szv = np.array([r["s_zvel"] for r in rows])
+    cons = {k: np.array([r[k] for r in rows])
+            for k in ("e_feet", "e_colinear", "e_support", "e_forward",
+                      "e_bundle")}
     sel, oracle = int(np.argmin(fit)), int(np.argmin(gt))
     summary = {
         "clip": args.clip, "seed": args.seed,
         "R": R, "K": K, "branch": branch, "sigma": sigma,
+        "drag_constraints": args.constraints,
         "selected": rows[sel], "oracle": rows[oracle],
         "oracle_gap": rows[sel]["mpjpe"] - rows[oracle]["mpjpe"],
         "pool_mpjpe": {"mean": float(gt.mean()), "min": float(gt.min()),
@@ -153,10 +229,23 @@ def main():
         "spearman_jitter_gt": spearman(jt, gt),
         "spearman_sprior_gt": spearman(spr, gt),
         "spearman_szvel_gt": spearman(szv, gt),
+        "spearman_constraints_gt": {k: spearman(v, gt)
+                                    for k, v in cons.items()},
         "gt_of_argmin": {"fit": float(gt[np.argmin(fit)]),
                          "s_prior": float(gt[np.argmin(spr)]),
                          "s_zvel": float(gt[np.argmin(szv)]),
-                         "jitter": float(gt[np.argmin(jt)])},
+                         "jitter": float(gt[np.argmin(jt)]),
+                         **{k: float(gt[np.argmin(v)])
+                            for k, v in cons.items()}},
+        # fit + constraint-energy combined selection (the bundle as a
+        # tie-breaking prior on the normalized fit): does physical
+        # plausibility rescue fit's GT-blind picks?
+        "gt_of_fit_plus_bundle": {
+            str(lam): float(gt[np.argmin(
+                fit / max(float(fit.mean()), 1e-12)
+                + lam * cons["e_bundle"]
+                / max(float(cons["e_bundle"].mean()), 1e-12))])
+            for lam in (0.1, 0.3, 1.0, 3.0)},
         "n_distinct_fits": int(len(np.unique(np.round(fit, 9)))),
     }
     print(json.dumps(summary, indent=1))
