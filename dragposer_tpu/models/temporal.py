@@ -114,10 +114,33 @@ def _init_attention(key, d):
 
 
 def _init_linear_kaiming(key, in_dim, out_dim):
+    """FF linears INSIDE nn.Transformer: ``Transformer._reset_parameters``
+    xavier-overrides every dim>1 weight, while the dim-1 biases keep their
+    ``nn.Linear`` default U(±1/√fan_in)."""
     kw, kb = jax.random.split(key)
     bound = 1.0 / math.sqrt(in_dim)
     return {
         "w": _xavier(kw, (out_dim, in_dim)),
+        "b": jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound),
+    }
+
+
+def _init_linear_torch(key, in_dim, out_dim):
+    """Plain ``nn.Linear`` default init (kaiming_uniform(a=√5) ≡ U(±1/√fan_in)
+    for the weight, U(±1/√fan_in) for the bias).
+
+    The reference's in_proj_encoder / in_proj_decoder / out_proj live OUTSIDE
+    ``nn.Transformer`` (``temporal_transformer.py:24-34``), so its
+    ``_reset_parameters`` xavier pass never touches them.  Using xavier here
+    made out_proj's init 2× too wide (4× the output variance): initial train
+    loss 2.45 vs the reference's 1.26, a head start the reference kept for
+    the whole 80-step (1 step/epoch at B=512 on the example corpus) recipe.
+    """
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(kw, (out_dim, in_dim), minval=-bound,
+                                maxval=bound),
         "b": jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound),
     }
 
@@ -155,9 +178,9 @@ def init_params(key, param) -> Dict:
         }
 
     return {
-        "in_proj_enc": _init_linear_kaiming(next(ki), latent + extra, d),
-        "in_proj_dec": _init_linear_kaiming(next(ki), latent, d),
-        "out_proj": _init_linear_kaiming(next(ki), d, latent),
+        "in_proj_enc": _init_linear_torch(next(ki), latent + extra, d),
+        "in_proj_dec": _init_linear_torch(next(ki), latent, d),
+        "out_proj": _init_linear_torch(next(ki), d, latent),
         "enc_layers": [enc_layer() for _ in range(param["n_encoder_layers"])],
         "dec_layers": [dec_layer() for _ in range(param["n_decoder_layers"])],
         "enc_norm": _init_ln(d),
@@ -182,13 +205,18 @@ def _dropout(x, rate, key, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def _attention(p, q_in, kv_in, n_heads: int, mask=None, dot=_rowdot_impl):
+def _attention(p, q_in, kv_in, n_heads: int, mask=None, dot=_rowdot_impl,
+               rate: float = 0.0, key=None, train: bool = False):
     """Multi-head attention, torch packed-projection layout.
 
     q_in: (..., Sq, D); kv_in: (..., Sk, D); mask: additive (Sq, Sk) or None.
     Leading dims are arbitrary (the drag engine calls this UNBATCHED and
     lets ``vmap`` add the sequence batch — explicit singleton batch dims
     produced 8× slower padded layouts on TPU).
+
+    rate/key/train: dropout on the softmax probabilities — torch
+    ``MultiheadAttention(dropout=p)`` applies it there at train time, so the
+    trainer must too for recipe parity (inference paths pass rate 0).
     """
     d = q_in.shape[-1]
     dh = d // n_heads
@@ -216,6 +244,7 @@ def _attention(p, q_in, kv_in, n_heads: int, mask=None, dot=_rowdot_impl):
     if mask is not None:
         scores = scores + mask
     attn = jax.nn.softmax(scores, axis=-1)
+    attn = _dropout(attn, rate, key, train)
     out = jnp.einsum("...hqk,...khd->...qhd", attn, v, precision=_PRECISION)
     out = out.reshape(q_in.shape)
     return dot(out, p["out_w"], p["out_b"])
@@ -263,7 +292,8 @@ def forward(params, param, latent, latent_target, tgt_mask=None, *,
 
     # encoder (post-LN)
     for lp in params["enc_layers"]:
-        a = _attention(lp["self_attn"], src, src, h, dot=dot)
+        a = _attention(lp["self_attn"], src, src, h, dot=dot,
+                       rate=rate, key=nk(), train=train)
         src = _layer_norm(src + _dropout(a, rate, nk(), train), lp["ln1"])
         f = _ff(lp, src, rate, nk(), train, dot=dot, fused=fused_ff)
         src = _layer_norm(src + _dropout(f, rate, nk(), train), lp["ln2"])
@@ -271,9 +301,11 @@ def forward(params, param, latent, latent_target, tgt_mask=None, *,
 
     # decoder (post-LN)
     for lp in params["dec_layers"]:
-        a = _attention(lp["self_attn"], tgt, tgt, h, mask=tgt_mask, dot=dot)
+        a = _attention(lp["self_attn"], tgt, tgt, h, mask=tgt_mask, dot=dot,
+                       rate=rate, key=nk(), train=train)
         tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln1"])
-        a = _attention(lp["cross_attn"], tgt, memory, h, dot=dot)
+        a = _attention(lp["cross_attn"], tgt, memory, h, dot=dot,
+                       rate=rate, key=nk(), train=train)
         tgt = _layer_norm(tgt + _dropout(a, rate, nk(), train), lp["ln2"])
         f = _ff(lp, tgt, rate, nk(), train, dot=dot, fused=fused_ff)
         tgt = _layer_norm(tgt + _dropout(f, rate, nk(), train), lp["ln3"])
@@ -304,7 +336,13 @@ def _ln_T(x, p, eps: float = 1e-5):
         + p["b"][None, :, None]
 
 
-def _attn_T(p, q_in, kv_in, n_heads: int, mask=None, fused: bool = False):
+def _attn_T(p, q_in, kv_in, n_heads: int, mask=None, fused: bool = False,
+            rate: float = 0.0, seed=None, train: bool = False):
+    if fused and train and rate > 0.0:
+        # the fused kernel computes softmax in-kernel with no mask support;
+        # torch applies dropout on the probs, so a parity-faithful training
+        # step must take the non-fused path (make_train_step defaults there)
+        fused = False
     d = q_in.shape[1]
     dh = d // n_heads
     wq, wk, wv = jnp.split(p["in_w"], 3, axis=0)
@@ -332,6 +370,7 @@ def _attn_T(p, q_in, kv_in, n_heads: int, mask=None, fused: bool = False):
         if mask is not None:
             s = s + mask[:, :, None, None]                 # (Sq,Sk,h,B)
         a = jax.nn.softmax(s, axis=1)
+        a = hash_dropout.dropout(a, rate, seed, train)     # torch MHA site
         o = (a[:, :, :, None] * v[None]).sum(axis=1)       # (Sq,h,dh,B)
     o = o.reshape(q_in.shape[0], d, -1)
     return (jnp.einsum("oi,sib->sob", p["out_w"], o, precision=_PRECISION)
@@ -404,7 +443,8 @@ def forward_T(params, param, latentT, latent_targetT, tgt_mask=None, *,
     tgt = drop(tgt + pe[: tgt.shape[0], :, None], nk())
 
     for lp in params["enc_layers"]:
-        a = _attn_T(lp["self_attn"], src, src, h, fused=fused_attn)
+        a = _attn_T(lp["self_attn"], src, src, h, fused=fused_attn,
+                    rate=rate, seed=nk(), train=train)
         src = _ln_T(src + drop(a, nk()), lp["ln1"])
         f = _ff_T(lp, src, rate, nk(), train, fused_ff)
         src = _ln_T(src + drop(f, nk()), lp["ln2"])
@@ -412,9 +452,10 @@ def forward_T(params, param, latentT, latent_targetT, tgt_mask=None, *,
 
     for lp in params["dec_layers"]:
         a = _attn_T(lp["self_attn"], tgt, tgt, h, mask=tgt_mask,
-                    fused=fused_attn)
+                    fused=fused_attn, rate=rate, seed=nk(), train=train)
         tgt = _ln_T(tgt + drop(a, nk()), lp["ln1"])
-        a = _attn_T(lp["cross_attn"], tgt, memory, h, fused=fused_attn)
+        a = _attn_T(lp["cross_attn"], tgt, memory, h, fused=fused_attn,
+                    rate=rate, seed=nk(), train=train)
         tgt = _ln_T(tgt + drop(a, nk()), lp["ln2"])
         f = _ff_T(lp, tgt, rate, nk(), train, fused_ff)
         tgt = _ln_T(tgt + drop(f, nk()), lp["ln3"])

@@ -122,10 +122,13 @@ def make_train_step(vae_params, statics, param, optimizer, *,
                     layout: str | None = None,
                     indexed: bool = False):
     """Jitted training step.  On TPU the defaults switch to the fused-FF
-    and fused-attention Pallas kernels and the batch-in-lanes transposed
-    layout (measured 5×+ the plain rows/XLA step at B=4096); elsewhere
-    they keep the plain formulation (the Pallas interpret path is slow
-    on CPU).
+    Pallas kernel and the batch-in-lanes transposed layout (measured 5×+
+    the plain rows/XLA step at B=4096); elsewhere they keep the plain
+    formulation (the Pallas interpret path is slow on CPU).  fused_attn
+    is requested on TPU too, but at dropout>0 ``_attn_T`` falls back to
+    the non-fused probs path — torch MHA applies dropout to the softmax
+    probabilities and the fused kernel has no mask support, so the
+    parity-faithful trainer eats the ~8% step cost.
 
     indexed=True: the step takes ``(…, key, idx, dqs_past_ALL,
     dqs_future_ALL, disp_acc_ALL, heights_ALL, …)`` and gathers the

@@ -86,6 +86,7 @@ def test_lane_padding_no_leak():
     np.testing.assert_allclose(gq, gq_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_model_wiring_fused_attn_matches_plain():
     """forward_T(fused_attn=True) == forward_T(fused_attn=False) at
     dropout 0 (same arithmetic, f32 rounding only).

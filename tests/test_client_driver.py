@@ -26,6 +26,7 @@ def poser():
     )
 
 
+@pytest.mark.heavy
 def test_playback_demo_reconstructs(poser):
     """BVH playback drives trackers; reconstruction must track the animation
     (masked end effectors land near their targets in steady state)."""
@@ -67,6 +68,8 @@ def test_bone_lengths_preserved(poser):
 def test_live_mask_editing_recompile_free(poser):
     """FBIK.cs:62-71 edits mask/weights every frame; the session must not
     rebuild its engine for that (dense-mask design)."""
+    if not poser._initialized:  # fixture is module-scoped; don't depend on
+        poser.initialize_pose()  # the playback test having run first
     engine_before = poser.session._engine
     poser.mask[:] = 0
     poser.mask[[13, 17, 21]] = 1  # 3-tracker mode, live
@@ -86,6 +89,8 @@ def test_live_mask_editing_recompile_free(poser):
 def test_param_push_does_not_rebuild(poser):
     """The client pushes identical optimizer params every frame
     (DragPoser.cs:168-172); the engine must stay."""
+    if not poser._initialized:
+        poser.initialize_pose()
     engine_before = poser.session._engine
     for _ in range(3):
         poser.step(1.0 / 60.0)

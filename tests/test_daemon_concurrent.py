@@ -26,6 +26,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 MODEL = os.path.join(REPO, "models", "model_scratch_example")
 SKELETON = "/root/reference/python/data/example/eval/example.bvh"

@@ -27,6 +27,7 @@ def _identity_stats():
     return means, stds
 
 
+@pytest.mark.heavy
 def test_roundtrip_identity(seg, tmp_path):
     """Encoding GT and exporting it back must reproduce the motion
     (up to Euler quantization): MPJPE ≈ 0."""

@@ -389,6 +389,7 @@ class TestModelWiring:
                                    tgt_mask=mask, fused_ff=True)
         np.testing.assert_allclose(y_fused, y_plain, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.heavy
     def test_teacher_forced_loss_layouts_agree(self):
         """layout='lanes' must compute the same loss as layout='rows' when
         dropout is 0 (with dropout on they differ only by mask draws)."""

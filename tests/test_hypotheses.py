@@ -17,6 +17,9 @@ from dragposer_tpu.ops.topology import Skeleton
 
 from conftest import REFERENCE_MODEL
 
+import pytest
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 def _setup(example_bvh_path, config="3_trackers", frames=(2000, 2016),
            max_iter=6):

@@ -17,6 +17,8 @@ from dragposer_tpu.ops.topology import Skeleton
 
 from conftest import REFERENCE_MODEL
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 @pytest.fixture(scope="module")
 def setup(example_bvh_path):

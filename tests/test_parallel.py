@@ -11,6 +11,8 @@ from dragposer_tpu.parallel import mesh as meshlib
 
 from conftest import REFERENCE_MODEL
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 @pytest.fixture(scope="module")
 def mesh8():

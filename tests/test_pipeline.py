@@ -30,6 +30,8 @@ from dragposer_tpu.ops.topology import Skeleton
 
 from conftest import REFERENCE_MODEL
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 def _build(example_bvh_path, use_temporal, window_key, max_iter=20):
     import jax

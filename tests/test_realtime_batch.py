@@ -130,6 +130,7 @@ def test_stagger_phases_spread_and_fill(batch_staggered):
     assert np.abs(np.asarray(batch._state.target_buffer)).max() > 0
 
 
+@pytest.mark.heavy
 def test_stagger_refreshes_at_own_boundary(batch_staggered):
     """Stepping a staggered crowd, each avatar's prediction buffer changes
     exactly on ITS OWN window-boundary frames (the sub-batch rollout) and

@@ -25,6 +25,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 FRAMES = 300
 CONFIGS = {

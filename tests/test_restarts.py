@@ -14,6 +14,9 @@ from dragposer_tpu.ops.topology import Skeleton
 
 from conftest import REFERENCE_MODEL
 
+import pytest
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 def test_run_restarts_picks_lowest_fit_loss(example_bvh_path):
     import jax

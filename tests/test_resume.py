@@ -16,6 +16,8 @@ import pytest
 
 from conftest import REFERENCE_DATA, REFERENCE_MODEL
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 @pytest.fixture(scope="module")
 def tiny_data(tmp_path_factory):

@@ -5,6 +5,8 @@ import pytest
 
 from dragposer_tpu import config as cfg
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier: excluded from `-m "not slow and not heavy"` (fast dev tier)
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -38,6 +38,7 @@ def test_causal_mask_blocks_future(params):
     assert np.abs(out1[:, 3:] - out2[:, 3:]).max() > 1e-3
 
 
+@pytest.mark.heavy
 def test_padded_buffer_equals_growing_input(params):
     """Row k of a fixed buffer under a visibility mask (all rows attend
     columns ≤ k) == running the transformer on exactly the first k+1 tokens
@@ -151,6 +152,7 @@ def test_torch_transformer_parity(params):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_forward_T_matches_forward(example_bvh_path):
     """The transposed inference forward must reproduce the reference-parity
     forward on the moved axes (incl. masked decoder steps).  Tolerance is

@@ -33,6 +33,7 @@ def _synth_batch(b=4):
     return dqs, disp
 
 
+@pytest.mark.heavy
 def test_loss_terms_finite_and_weighted(vae_setup):
     import jax
 
@@ -52,6 +53,7 @@ def test_loss_terms_finite_and_weighted(vae_setup):
                                sum(float(v) for v in terms.values()), rtol=1e-6)
 
 
+@pytest.mark.heavy
 def test_consecutive_grad_matches_finite_differences(vae_setup):
     """The drag-consistency term uses ∇_z f; check jax.grad against FD."""
     import functools
@@ -133,6 +135,7 @@ def test_limb_noise(vae_setup):
     np.testing.assert_array_equal(out[:, :, root_spine], dq[:, :, root_spine])
 
 
+@pytest.mark.heavy
 def test_temporal_train_step_learns(vae_setup):
     import jax
     import optax
