@@ -161,6 +161,39 @@ def test_beam_validated_on_untuned_clips():
 
 
 
+def test_training_head_to_heads_committed():
+    """BASELINE.json names train.py / train_temporal.py reproduction in the
+    parity surface.  Both trainers must carry the symmetric 2x2 race vs the
+    UNMODIFIED reference loops (tools/train_h2h.py / tools/temporal_h2h.py):
+    two independent init draws per side at equal epochs, plus an
+    equal-wall-clock leg, every checkpoint judged by the same eval_drag
+    seed sweep.  Bars: at equal epochs the draw spreads overlap or our
+    mean-of-draws is within 2% of the reference's; at equal wall-clock
+    (the TPU-native claim) ours must not be worse."""
+    art = _load()
+    for key, wc_flag in (("training_vae", "our_wc_checkpoint_not_worse"),
+                         ("training_temporal",
+                          "our_wc_mean_not_worse_than_ref_draws")):
+        sec = art.get(key)
+        assert sec, f"PARITY.json.{key} missing — run the h2h tool"
+        sweep = sec["eval_seed_sweep"]
+        assert len(sweep["reference"]["per_seed"]) >= 4, (key, sweep)
+        assert len(sweep["ours"]["per_seed"]) >= 4, (key, sweep)
+        assert "second_training_draw" in sec, key
+        ref2 = sec.get("second_reference_draw")
+        assert ref2, (key, "second reference draw missing — the draw-"
+                           "variance evidence must be symmetric")
+        # equal-epoch bar (spread fields live at top level for the temporal
+        # record, inside second_reference_draw for the vae one)
+        holder = sec if "draw_spreads_overlap" in sec else ref2
+        assert (holder["draw_spreads_overlap"]
+                or holder["our_mean_within_2pct_of_ref"]), (key, {
+                    "ref": holder.get("ref_draw_spread"),
+                    "ours": holder.get("our_draw_spread")})
+        wc = sec["equal_wallclock"]
+        assert wc[wc_flag], (key, wc)
+
+
 def test_parity_degenerate_exclusion_is_evidenced():
     """Any 1%-bar exclusion must be backed by committed seed-sweep data
     (tools/parity_sweep.py) IN THAT CLIP's section, not prose: either
