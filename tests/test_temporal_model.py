@@ -183,3 +183,39 @@ def test_forward_T_matches_forward(example_bvh_path):
                        tgt_mask=mask)
     np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 0),
                                np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_attention_probs_dropout_fires_in_training():
+    """torch MultiheadAttention applies dropout to the softmax probs at
+    train time (``nn.Transformer(dropout=p)``); the trainer-parity forward
+    must too.  Isolated at the _attention/_attn_T level: at rate~1⁻ the
+    probs mostly zero out, so the output must differ from rate 0; at
+    eval (train=False) the site must be inert regardless of rate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dragposer_tpu.models import temporal as tm
+
+    d, h, sq, sk = 48, 4, 5, 7
+    key = jax.random.PRNGKey(0)
+    p = tm._init_attention(key, d)
+    q = jax.random.normal(jax.random.PRNGKey(1), (sq, d))
+    kv = jax.random.normal(jax.random.PRNGKey(2), (sk, d))
+
+    base = tm._attention(p, q, kv, h)
+    dropped = tm._attention(p, q, kv, h, rate=0.9,
+                            key=jax.random.PRNGKey(3), train=True)
+    assert not np.allclose(np.asarray(base), np.asarray(dropped), atol=1e-6)
+    inert = tm._attention(p, q, kv, h, rate=0.9,
+                          key=jax.random.PRNGKey(3), train=False)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(inert))
+
+    qT, kvT = q[:, :, None], kv[:, :, None]              # (S, D, B=1)
+    baseT = tm._attn_T(p, qT, kvT, h)
+    seed = jnp.int32(7)
+    droppedT = tm._attn_T(p, qT, kvT, h, rate=0.9, seed=seed, train=True)
+    assert not np.allclose(np.asarray(baseT), np.asarray(droppedT),
+                           atol=1e-6)
+    inertT = tm._attn_T(p, qT, kvT, h, rate=0.9, seed=seed, train=False)
+    np.testing.assert_array_equal(np.asarray(baseT), np.asarray(inertT))
