@@ -48,11 +48,17 @@ def _condense(d):
     }
     if "gt_of_argmin" in s:
         # GT-free alternative scores (VAE-prior energy, latent velocity,
-        # output jitter): the GT error of each score's argmin lane —
-        # measured NEGATIVE on example_2 (none finds the oracle lane;
-        # their argmins land at ~pool-mean GT error)
+        # output jitter, and — round 5 — the reference's commented-out
+        # physical-plausibility constraint energies): the GT error of
+        # each score's argmin lane vs the oracle lane
         out["gt_of_argmin"] = {k: round(v, 4)
                                for k, v in s["gt_of_argmin"].items()}
+    if "spearman_constraints_gt" in s:
+        out["spearman_constraints_gt"] = {
+            k: round(v, 3) for k, v in s["spearman_constraints_gt"].items()}
+    if "gt_of_fit_plus_bundle" in s:
+        out["gt_of_fit_plus_bundle"] = {
+            k: round(v, 4) for k, v in s["gt_of_fit_plus_bundle"].items()}
     return out
 
 
@@ -104,6 +110,12 @@ def main():
                          "each with summary.clip")
     ap.add_argument("--beam", default=None,
                     help="optional beam-mode diag json (resampling on)")
+    ap.add_argument("--constraint-runs", nargs="*", default=None,
+                    help="diag jsons of runs where the DRAG ITSELF carried "
+                         "constraint loss terms (--constraints), merged as "
+                         "constraints_as_drag_terms (round-4 VERDICT #5: "
+                         "reference drag_pose.py:129-183 terms measured in "
+                         "the degenerate 3-tracker regime)")
     ap.add_argument("--renarrate", action="store_true",
                     help="recompute only the 'what' narrative from the "
                          "per-clip numbers already in PARITY.json")
@@ -142,6 +154,30 @@ def main():
             "what": _narrative(per_clip),
             "per_clip_independent_lanes": per_clip,
         }
+        if args.constraint_runs:
+            runs = []
+            for path in args.constraint_runs:
+                with open(path) as f:
+                    d = json.load(f)
+                c = _condense(d)
+                c["drag_constraints"] = d["summary"]["drag_constraints"]
+                c["clip"] = d["summary"]["clip"]
+                runs.append(c)
+            # the comparison baseline is the same-clip free run above
+            base = per_clip.get(runs[0]["clip"]) if runs else None
+            artifact["beam_selection_diagnosis"][
+                "constraints_as_drag_terms"] = {
+                "what": ("same independent-lane pool with the reference's "
+                         "commented-out constraint losses ACTIVE as drag "
+                         "terms (drag_pose.py:129-183 / "
+                         "dragposer_tpu/drag/constraints.py) at small "
+                         "weights — do physical-plausibility penalties "
+                         "shrink the wrong-body basins (pool mean / "
+                         "fit-selected / oracle) vs the unconstrained "
+                         "run on the same clip+seed?"),
+                "baseline_free_run": base,
+                "runs": runs,
+            }
         if beam is not None:
             s = beam["summary"]
             artifact["beam_selection_diagnosis"]["example_2_beam_pool"] = {
