@@ -33,7 +33,7 @@ def _np(t) -> np.ndarray:
 def load_generator(model_dir: str, parents, param) -> Tuple[Dict, Dict, Dict]:
     """Returns (vae_params, means, stds) from generator.pt + data.pt."""
     sd = _torch_load(os.path.join(model_dir, "generator.pt"))["model_state_dict"]
-    statics = vae.build_statics(parents, param)
+    statics = vae.build_statics(parents, param)  # host numpy — no device I/O
 
     def get(name):
         return _np(sd[name])

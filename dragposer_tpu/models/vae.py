@@ -93,11 +93,18 @@ def build_statics(parents, param) -> VAEStatics:
         dec_masks.append(topology.conv_mask(hood, DEC_CPJ, DEC_CPJ, kernel))
         dec_unpools.append(topology.unpool_matrix(dec_poolings[level], DEC_CPJ))
 
+    # HOST (numpy) arrays on purpose: statics are closure-captured by the
+    # jitted programs (embedded as constants at trace time) and consumed
+    # eagerly by host-side folding/verification (fold_decoder,
+    # torch_import).  jnp.asarray here would pin them to the default
+    # device, and fetching them back over a tunneled TPU is slow (~90 s
+    # first fetch per process) and the transport's one sporadically-
+    # hanging operation.
     return VAEStatics(
-        enc_masks=tuple(jnp.asarray(m) for m in enc_masks),
-        enc_pools=tuple(jnp.asarray(m) for m in enc_pools),
-        dec_masks=tuple(jnp.asarray(m) for m in dec_masks),
-        dec_unpools=tuple(jnp.asarray(m) for m in dec_unpools),
+        enc_masks=tuple(np.asarray(m, np.float32) for m in enc_masks),
+        enc_pools=tuple(np.asarray(m, np.float32) for m in enc_pools),
+        dec_masks=tuple(np.asarray(m, np.float32) for m in dec_masks),
+        dec_unpools=tuple(np.asarray(m, np.float32) for m in dec_unpools),
         kernel=kernel,
         padding=(kernel - 1) // 2,
         stride=param["stride_encoder_conv"],

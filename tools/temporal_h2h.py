@@ -152,7 +152,7 @@ def _sweep_stats(rows):
             "min": min(vals), "max": max(vals)}
 
 
-def merge(records: dict, evals: dict):
+def merge(records: dict, evals: dict, note: str | None = None):
     """Write PARITY.json.training_temporal with the training_vae 2x2
     structure; booleans derived from the data."""
     import numpy as np
@@ -210,6 +210,8 @@ def merge(records: dict, evals: dict):
                 sw["wc"]["mean"] <= float(np.mean(ref_spread)) * 1.02),
         },
     }
+    if note:
+        entry["timing_note"] = note
     out_path = os.path.join(REPO, "PARITY.json")
     with artifact_lock(out_path):
         with open(out_path) as f:
@@ -246,6 +248,9 @@ def main():
     p.add_argument("--eval-prefix", required=True,
                    help="PREFIX such that PREFIX_<key>.json holds each "
                         "checkpoint's eval sweep rows")
+    p.add_argument("--note", default=None,
+                   help="optional timing-methodology note stored with the "
+                        "entry (e.g. contended-host / tunnel-stall caveats)")
 
     args = ap.parse_args()
 
@@ -271,7 +276,7 @@ def main():
                 records[k] = json.load(f)
             with open(f"{args.eval_prefix}_{k}.json") as f:
                 evals[k] = json.load(f)
-        merge(records, evals)
+        merge(records, evals, note=args.note)
 
 
 if __name__ == "__main__":
