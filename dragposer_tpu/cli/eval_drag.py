@@ -23,6 +23,7 @@ import numpy as np
 from dragposer_tpu import config as cfg
 from dragposer_tpu import export, metrics
 from dragposer_tpu.data import encoding
+from dragposer_tpu.drag import constraints as constraints_mod
 from dragposer_tpu.drag.engine import DragEngine, DragHyper, DragModel
 from dragposer_tpu.io.bvh import BVH
 from dragposer_tpu.models import loading, vae
@@ -48,8 +49,14 @@ def resolve_config(name_or_path: str | None) -> cfg.TrackerConfig:
 def build_engine(model_dir: str, parents, tracker: cfg.TrackerConfig,
                  *, use_temporal: bool = True, skeleton: Skeleton,
                  max_iter: int = EVAL_MAX_ITER,
-                 learning_rate: float = EVAL_LR) -> tuple[DragEngine, dict, dict]:
-    """Load checkpoints and compile a DragEngine for one tracker config."""
+                 learning_rate: float = EVAL_LR,
+                 constraints: str | None = None) -> tuple[DragEngine, dict, dict]:
+    """Load checkpoints and compile a DragEngine for one tracker config.
+
+    ``constraints`` is a ``drag/constraints.py:parse_spec`` string adding
+    physical-plausibility loss terms to the drag objective (the reference's
+    commented-out ``drag_pose.py:129-183`` terms); ``None`` falls back to
+    the config's ``default_constraints``."""
     params, means, stds = loading.load_generator(model_dir, parents, cfg.VAE_PARAM)
     temporal_loaded = loading.load_temporal(model_dir, cfg.TEMPORAL_PARAM) if use_temporal else None
     if use_temporal and temporal_loaded is None:
@@ -99,6 +106,9 @@ def build_engine(model_dir: str, parents, tracker: cfg.TrackerConfig,
         use_temporal=use_temporal,
         joint_adjustment=ja,
         joint_adjustment_weight=tracker.joint_adjustment_weight,
+        constraints=constraints_mod.parse_spec(
+            tracker.default_constraints if constraints is None
+            else constraints),
     )
     statics = vae.build_statics(parents, cfg.VAE_PARAM)
     engine = DragEngine(model, statics, skeleton, hyper, cfg.TEMPORAL_PARAM)
@@ -453,6 +463,14 @@ def main(argv=None):
                         help="downsample factor for the GT in the metric "
                              "(reference eval_drag.py:246 — use 2 when the "
                              "GT is 120 fps and the eval assumes 60)")
+    parser.add_argument("--constraints", type=str, default=None,
+                        metavar="SPEC",
+                        help="physical-plausibility loss terms added to the "
+                             "drag objective, e.g. 'feet_floor:0.1,"
+                             "head_hips_colinear:0.05' (names from "
+                             "dragposer_tpu/drag/constraints.py; the "
+                             "reference's commented-out drag_pose.py:129-183 "
+                             "terms).  Default: the config's; '' forces off")
     args = parser.parse_args(argv)
 
     tracker = resolve_config(args.config)
@@ -480,7 +498,12 @@ def main(argv=None):
     engine, means, stds = build_engine(
         args.model_path, parents, tracker,
         use_temporal=not args.no_temporal, skeleton=skeleton,
+        constraints=args.constraints,
     )
+    if engine.hyper.constraints:
+        spec = (tracker.default_constraints if args.constraints is None
+                else args.constraints)
+        print(f"constraints active: {spec}")
     import contextlib
 
     import jax

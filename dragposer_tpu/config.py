@@ -112,6 +112,13 @@ class TrackerConfig:
     default_branch_every: int = 0
     default_branch_sigma: float = 0.25
     default_branch_survivors: int = 8
+    # "Constraints as losses" spec (``drag/constraints.py:parse_spec``),
+    # e.g. "feet_floor:0.1,head_hips_colinear:0.05".  The reference ships
+    # these terms commented out (``drag_pose.py:129-183``); here they are a
+    # per-config default, measured to reshape the underconstrained
+    # 3-tracker landscape (see PARITY.json.beam_selection_diagnosis
+    # .constraints_as_drag_terms).  Empty = off.
+    default_constraints: str = ""
 
     @property
     def mask_indices(self) -> np.ndarray:
@@ -145,6 +152,7 @@ class TrackerConfig:
             default_branch_every=int(d.get("branch_every", 0)),
             default_branch_sigma=float(d.get("branch_sigma", 0.25)),
             default_branch_survivors=int(d.get("branch_survivors", 8)),
+            default_constraints=str(d.get("constraints", "")),
         )
 
 

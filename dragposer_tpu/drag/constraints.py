@@ -91,6 +91,34 @@ def hips_feet_colinear(hips: int = 0, feet=(4, 8), radius: float = 0.2,
     return loss
 
 
+_BY_NAME = {
+    "feet_floor": feet_floor,
+    "head_hips_forward": head_hips_forward,
+    "head_hips_colinear": head_hips_colinear,
+    "hips_feet_colinear": hips_feet_colinear,
+}
+
+
+def parse_spec(spec: str):
+    """``'feet_floor:0.5,head_hips_colinear:0.1'`` → ``DragHyper.constraints``.
+
+    The textual form used by config JSONs (``"constraints"`` key), the
+    ``eval_drag --constraints`` flag and the diagnostics tooling.  Empty or
+    whitespace-only specs parse to ``()`` (constraints off)."""
+    spec = (spec or "").strip()
+    if not spec:
+        return ()
+    out = []
+    for item in spec.split(","):
+        name, _, w = item.partition(":")
+        name = name.strip()
+        if name not in _BY_NAME:
+            raise ValueError(
+                f"unknown constraint {name!r}; choose from {sorted(_BY_NAME)}")
+        out.append((_BY_NAME[name](), float(w) if w else 1.0))
+    return tuple(out)
+
+
 #: the reference's full commented-out bundle (``drag_pose.py:178-183``),
 #: ready for ``DragHyper.constraints``; all weights 1 as in the reference sum
 REFERENCE_BUNDLE = (

@@ -142,3 +142,47 @@ def test_feet_floor_pulls_feet_down(setup):
         return float(np.mean(np.abs(np.asarray(out.global_pos)[:, 1])))
 
     assert foot_height(engine_c, cons) <= foot_height(engine, base) + 1e-6
+
+
+def test_parse_spec():
+    """CLI/config spec string → DragHyper.constraints tuples."""
+    from dragposer_tpu.drag.constraints import parse_spec
+
+    out = parse_spec("feet_floor:0.5, head_hips_colinear:0.1")
+    assert len(out) == 2
+    assert callable(out[0][0]) and out[0][1] == 0.5
+    assert out[1][1] == 0.1
+    assert parse_spec("") == () and parse_spec(None) == ()
+    # weightless form defaults to 1.0
+    assert parse_spec("feet_floor")[0][1] == 1.0
+    with pytest.raises(ValueError):
+        parse_spec("no_such_term:1.0")
+
+
+def test_build_engine_constraints_plumbing(setup, example_bvh_path):
+    """eval_drag.build_engine activates constraint terms from an explicit
+    spec and from the config's default_constraints; '' forces off."""
+    import dataclasses
+
+    from dragposer_tpu.cli.eval_drag import build_engine, resolve_config
+
+    bvh = BVH().load(example_bvh_path)
+    _, _, parents, offsets, _ = encoding.info_from_bvh(bvh)
+    sk = Skeleton.build(parents, offsets, bvh.names)
+    cfg_c = dataclasses.replace(resolve_config("6_trackers"),
+                                default_constraints="feet_floor:0.1")
+    # explicit spec wins
+    e1, _, _ = build_engine(REFERENCE_MODEL, parents, cfg_c,
+                            use_temporal=False, skeleton=sk, max_iter=2,
+                            constraints="feet_floor:0.2,hips_feet_colinear:1")
+    assert len(e1.hyper.constraints) == 2
+    assert e1.hyper.constraints[0][1] == 0.2
+    # None falls back to config default
+    e2, _, _ = build_engine(REFERENCE_MODEL, parents, cfg_c,
+                            use_temporal=False, skeleton=sk, max_iter=2)
+    assert len(e2.hyper.constraints) == 1 and e2.hyper.constraints[0][1] == 0.1
+    # empty string forces off
+    e3, _, _ = build_engine(REFERENCE_MODEL, parents, cfg_c,
+                            use_temporal=False, skeleton=sk, max_iter=2,
+                            constraints="")
+    assert e3.hyper.constraints == ()

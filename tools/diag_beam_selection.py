@@ -80,13 +80,9 @@ def constraint_energies(wpos, wrot) -> dict:
 
 def parse_constraints(spec: str):
     """'feet_floor:0.5,head_hips_colinear:0.1' -> DragHyper.constraints."""
-    from dragposer_tpu.drag import constraints as C
+    from dragposer_tpu.drag.constraints import parse_spec
 
-    out = []
-    for item in spec.split(","):
-        name, w = item.split(":")
-        out.append((getattr(C, name.strip())(), float(w)))
-    return tuple(out)
+    return parse_spec(spec)
 
 
 def spearman(a, b) -> float:
