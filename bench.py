@@ -127,6 +127,13 @@ def main():
         t0 = time.time()
         _, out = run()
         jax.block_until_ready(out.pose)
+        # Force REAL completion with a tiny value fetch: the tunneled dev
+        # backend has been observed (degraded-transport episodes) acking
+        # block_until_ready on a freshly dispatched program immediately,
+        # which would time dispatch, not execution.  Fetching any element
+        # cannot complete before the program does; 88 floats ≈ 40 ms of
+        # tunnel latency, <2% of the timed region at the default batch.
+        np.asarray(out.pose[0, 0])
         times.append(time.time() - t0)
 
     total_frames = BATCH * FRAMES
